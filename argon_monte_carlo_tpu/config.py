@@ -1,0 +1,191 @@
+"""Workload and engine configuration.
+
+The reference has no config system: every parameter is a module-level
+constant edited in-file (SURVEY.md section 5).  Here each reference script
+becomes a frozen dataclass mirroring its constant block, plus an
+``EngineConfig`` for the TPU execution strategy (dtype, collision grid,
+histogram binning, epoch length) that has no reference analogue.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+from .geometry import CubeGeometry, PoreGeometry
+from .physics import (
+    CUBE_PHYSICS,
+    GasPhysics,
+    PORE_PHYSICS,
+    TEMPERATURE_PORE_PHYSICS,
+)
+from .utils import debye
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Execution-strategy knobs for the TPU engine (no reference analogue)."""
+
+    # "float32" (TPU default) or "float64" (CPU parity/testing).
+    dtype: str = "float32"
+    # Pair-collision broad phase: "allpairs" (exact, O(N^2), small N) or
+    # "cells" (compact region-aware cell list, scales to millions).
+    broadphase: str = "cells"
+    # Target mean particles per occupied cell (sets the cell size).
+    cell_occupancy: float = 6.0
+    # Max particles stored per cell; overflow is counted in metrics.
+    cell_capacity: int = 16
+    # Tile size for the all-pairs broad phase.
+    allpairs_tile: int = 2048
+    # Steps per lax.scan epoch (no host round-trips within an epoch).
+    steps_per_epoch: int = 100
+    # Free-path histograms (reference: 200 bins over (0, 1e-6);
+    # Open_Air_Cube_MC.py:81,344).
+    num_bins: int = 200
+    hist_range: tuple[float, float] = (0.0, 1e-6)
+    # Rebuild the sorted cell structure every N steps (1 = every step).
+    rebuild_interval: int = 1
+    # Extra neighbour-search radius (metres) beyond collision_range when
+    # rebuild_interval > 1, so pairs entering range between rebuilds are
+    # still candidates (Verlet-list skin).
+    skin: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class CubeConfig:
+    """Stage 1: specular cube (reference Open_Air_Cube_MC.py:26-82)."""
+
+    geometry: CubeGeometry = CubeGeometry()
+    physics: GasPhysics = CUBE_PHYSICS
+    seed: int = 127
+    nmft: int = 20  # mean-free times to run (Open_Air_Cube_MC.py:62)
+    steps_per_mft: int = 25  # (Open_Air_Cube_MC.py:63)
+    engine: EngineConfig = EngineConfig(broadphase="allpairs")
+    # Optional override of the derived molecule count (for tests/benches).
+    num_particles_override: Optional[int] = None
+
+    @property
+    def num_molecules(self) -> int:
+        if self.num_particles_override is not None:
+            return self.num_particles_override
+        return self.physics.num_molecules(self.geometry.volume)
+
+    @property
+    def num_timesteps(self) -> int:
+        return self.nmft * self.steps_per_mft
+
+    @property
+    def dt(self) -> float:
+        # dt = Nmft * tau / num_timesteps (Open_Air_Cube_MC.py:64)
+        return self.nmft * self.physics.tau / self.num_timesteps
+
+
+@dataclasses.dataclass(frozen=True)
+class PoreConfig:
+    """Stages 2+3: thruster pore.
+
+    ``energized=False`` reproduces Open_Air_Pore_MC (all walls specular,
+    wall hits end free paths and count as collisions).
+    ``energized=True`` reproduces Temperature_Pore_MC (Debye thermal walls,
+    momentum/energy ledger, specular walls do not touch paths).
+    """
+
+    geometry: PoreGeometry = PoreGeometry()
+    energized: bool = False
+    seed: int = 17
+    nmft: int = 20  # (Open_Air_Pore_MC.py:73)
+    steps_per_mft: int = 1000  # (Open_Air_Pore_MC.py:74)
+    engine: EngineConfig = EngineConfig(broadphase="cells")
+    num_particles_override: Optional[int] = None
+
+    # Thermal-wall parameters (Temperature_Pore_MC.py:72-79); only used
+    # when energized=True.
+    t_cold: float = 293.0
+    t_hot: float = 353.0
+    t_debye_graphene: float = debye.T_DEBYE_GRAPHENE
+    t_debye_alumina: float = debye.T_DEBYE_ALUMINA
+    coated_accommodation_coeff: float = debye.COATED_ACCOMMODATION_COEFF
+    gap_accommodation_coeff: float = debye.GAP_ACCOMMODATION_COEFF
+    cone_half_angle_deg: float = 85.0  # Temperature_Pore_MC.py:136-138
+
+    @property
+    def physics(self) -> GasPhysics:
+        return TEMPERATURE_PORE_PHYSICS if self.energized else PORE_PHYSICS
+
+    @property
+    def num_molecules(self) -> int:
+        if self.num_particles_override is not None:
+            return self.num_particles_override
+        return self.physics.num_molecules(self.geometry.volume)
+
+    @property
+    def num_timesteps(self) -> int:
+        return self.nmft * self.steps_per_mft
+
+    @property
+    def dt(self) -> float:
+        return self.nmft * self.physics.tau / self.num_timesteps
+
+    # --- Debye surface energies (host precompute; Temperature_Pore_MC.py:80-84) ---
+    @property
+    def surface_energy_cold(self) -> float:
+        return float(
+            debye.surface_energy(
+                self.t_cold,
+                self.t_debye_graphene,
+                debye.NUM_ATOMS_UNITCELL_GRAPHENE,
+                self.physics.boltzmann,
+            )
+        )
+
+    @property
+    def surface_energy_hot(self) -> float:
+        return float(
+            debye.surface_energy(
+                self.t_hot,
+                self.t_debye_graphene,
+                debye.NUM_ATOMS_UNITCELL_GRAPHENE,
+                self.physics.boltzmann,
+            )
+        )
+
+    def gap_energy_table(self, resolution: int = 512) -> debye.GapEnergyTable:
+        return debye.GapEnergyTable.build(
+            gap_bottom=self.geometry.gap_bottom,
+            gap_top=self.geometry.gap_top,
+            t_hot=self.t_hot,
+            t_cold=self.t_cold,
+            boltzmann=self.physics.boltzmann,
+            t_debye=self.t_debye_alumina,
+            resolution=resolution,
+        )
+
+    def scaled_to(self, target_particles: int) -> "PoreConfig":
+        """Scale the geometry so the ideal-gas molecule count ~= target.
+
+        Used by the benchmark configs (1M / 10M particle pores).
+        """
+        base = self.physics.num_molecules(self.geometry.volume)
+        s = (target_particles / base) ** (1.0 / 3.0)
+        return dataclasses.replace(self, geometry=self.geometry.scaled(s))
+
+
+def temperature_pore_config(**kwargs) -> PoreConfig:
+    """The north-star workload (Temperature_Pore_MC.py)."""
+    kwargs.setdefault("energized", True)
+    return PoreConfig(**kwargs)
+
+
+def _required_cell_size(cfg: EngineConfig, physics: GasPhysics,
+                        density: float) -> float:
+    """Cell edge length: >= search radius, targeting ``cell_occupancy``."""
+    search_radius = physics.collision_range + cfg.skin
+    occupancy_size = (cfg.cell_occupancy / density) ** (1.0 / 3.0)
+    return max(search_radius, occupancy_size)
+
+
+def cell_size_for(cfg_engine: EngineConfig, physics: GasPhysics,
+                  num_particles: int, fluid_volume: float) -> float:
+    density = num_particles / fluid_volume
+    return _required_cell_size(cfg_engine, physics, density)

@@ -1,0 +1,197 @@
+"""The jitted simulation engine: step function + epoch scan.
+
+Replaces the reference main loops (Open_Air_Cube_MC.py:175-338,
+Open_Air_Pore_MC.py:416-557, Temperature_Pore_MC.py:662-853) with a single
+fused, jit-compiled step:
+
+    drift -> wall pass -> recapture -> pair collisions -> recapture -> metrics
+
+and ``lax.scan`` over an epoch of steps so the device never round-trips to
+the host mid-epoch.  The reference's CPU parallel runtime (process pools,
+Manager lists, locked counters -- SURVEY.md C23) has no equivalent here:
+everything is one SPMD program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .config import CubeConfig, PoreConfig, cell_size_for
+from .ops import collide
+from .ops import measure as measure_ops
+from .state import Measurements, ParticleState, StepMetrics
+
+
+class WallLedger(NamedTuple):
+    """Per-step wall-phase totals (Temperature_Pore_MC.py:685-687)."""
+
+    momentum_z: jnp.ndarray
+    energy_hot: jnp.ndarray
+    energy_cold: jnp.ndarray
+    wall_hits: jnp.ndarray
+    errs: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class Workload:
+    """Everything workload-specific the engine needs.
+
+    wall_pass(state, prior_pos, measure, key) -> (state, measure, ledger)
+    post_wall / post_pairs: recapture passes returning (state, oob_count).
+    """
+
+    cfg: object
+    init_fn: Callable[[jax.Array], ParticleState]
+    wall_pass: Callable
+    post_wall: Callable
+    post_pairs: Callable
+    fluid_volume: float
+
+
+def _null_fix(state):
+    return state, jnp.zeros((), jnp.int32)
+
+
+def make_step_fn(workload: Workload):
+    """Build the scannable per-timestep function."""
+    cfg = workload.cfg
+    eng = cfg.engine
+    physics = cfg.physics
+    dt = cfg.dt
+    cr = physics.collision_range
+    search_radius = cr + eng.skin
+
+    if eng.broadphase == "cells":
+        cell_size = cell_size_for(
+            eng, physics, cfg.num_molecules, workload.fluid_volume
+        )
+        geom = cfg.geometry
+        if hasattr(geom, "total_height"):  # pore
+            host_grid = collide.grid_for_pore(
+                geom, cell_size, eng.cell_capacity
+            )
+            center = (0.0, 0.0)
+        else:  # cube
+            host_grid = collide.grid_for_cube(
+                geom, cell_size, eng.cell_capacity
+            )
+            center = (geom.lx / 2.0, geom.ly / 2.0)
+        device_grid = collide.DeviceGrid.from_grid(
+            host_grid, jnp.dtype(eng.dtype), center
+        )
+
+        def search(pos):
+            return collide.cell_partner_search(pos, device_grid,
+                                               search_radius)
+    elif eng.broadphase == "allpairs":
+
+        def search(pos):
+            return collide.allpairs_partner_search(
+                pos, search_radius, eng.allpairs_tile
+            )
+    else:
+        raise ValueError(f"unknown broadphase {eng.broadphase!r}")
+
+    def step(carry, step_index):
+        state, measure, base_key = carry
+        key = jax.random.fold_in(base_key, step_index)
+
+        # DRIFT (Open_Air_Cube_MC.py:179-187) + path accrual.
+        prior = state.pos
+        state.paths = measure_ops.accumulate_drift(state, dt)
+        state.pos = state.pos + dt * state.vel
+
+        # WALL CASES
+        state, measure, ledger = workload.wall_pass(
+            state, prior, measure, key
+        )
+        state, oob_walls = workload.post_wall(state)
+
+        # PARTICLE-PARTICLE COLLISIONS
+        partner, overflow = search(state.pos)
+        state, measure, pair_collisions = collide.resolve_collisions(
+            state, measure, partner, cr, physics.mass,
+            eng.num_bins, eng.hist_range[1],
+        )
+        state, oob_pairs = workload.post_pairs(state)
+
+        measure.overflow_count = measure.overflow_count + overflow
+        measure.err_count = measure.err_count + ledger.errs
+        measure.collision_count = measure.collision_count + ledger.wall_hits
+
+        metrics = StepMetrics(
+            momentum_z=ledger.momentum_z,
+            energy_hot=ledger.energy_hot,
+            energy_cold=ledger.energy_cold,
+            collisions=pair_collisions + ledger.wall_hits,
+            wall_hits=ledger.wall_hits,
+            oob_after_walls=oob_walls,
+            oob_after_pairs=oob_pairs,
+        )
+        return (state, measure, base_key), metrics
+
+    return step
+
+
+class Simulation:
+    """Host-side driver: init once, run jitted epochs, stream metrics."""
+
+    def __init__(self, workload: Workload):
+        self.workload = workload
+        self.cfg = workload.cfg
+        self._step = make_step_fn(workload)
+        eng = self.cfg.engine
+
+        def run_epoch(state, measure, base_key, step_indices):
+            (state, measure, _), metrics = jax.lax.scan(
+                self._step, (state, measure, base_key), step_indices
+            )
+            return state, measure, metrics
+
+        self._run_epoch = jax.jit(run_epoch)
+
+    def init(self, seed: Optional[int] = None):
+        seed = self.cfg.seed if seed is None else seed
+        key = jax.random.PRNGKey(seed)
+        init_key, run_key = jax.random.split(key)
+        state = self.workload.init_fn(init_key)
+        measure = Measurements.zeros(
+            self.cfg.engine.num_bins, jnp.dtype(self.cfg.engine.dtype)
+        )
+        return state, measure, run_key
+
+    def run(self, num_steps: Optional[int] = None, seed=None,
+            state=None, measure=None, run_key=None, start_step: int = 0,
+            epoch_callback=None):
+        """Run the simulation; returns (state, measure, stacked metrics).
+
+        ``epoch_callback(epoch_metrics)`` is invoked per epoch with the
+        device metrics for streaming/logging.
+        """
+        if num_steps is None:
+            num_steps = self.cfg.num_timesteps
+        if state is None:
+            state, measure, run_key = self.init(seed)
+        spe = self.cfg.engine.steps_per_epoch
+        all_metrics = []
+        step = start_step
+        end = start_step + num_steps
+        while step < end:
+            n = min(spe, end - step)
+            indices = jnp.arange(step, step + n, dtype=jnp.int32)
+            state, measure, metrics = self._run_epoch(
+                state, measure, run_key, indices
+            )
+            all_metrics.append(metrics)
+            if epoch_callback is not None:
+                epoch_callback(metrics)
+            step += n
+        stacked = jax.tree.map(
+            lambda *xs: jnp.concatenate([jnp.atleast_1d(x) for x in xs]),
+            *all_metrics,
+        ) if all_metrics else None
+        return state, measure, stacked

@@ -1,0 +1,103 @@
+"""Free-path measurement: the partial/full path state machine + histograms.
+
+The reference appends every completed free path to Manager() lists and
+histograms them at the end (Open_Air_Pore_MC.py:408-413, 571-599).  Lists
+are unbounded host memory and an RPC per append; since every output only
+uses binned densities and the mean, we bin on device into fixed
+``(4, num_bins+1)`` accumulators (last bin = beyond-range overflow) and
+keep exact running sums/counts for the means.
+
+Path state machine (Open_Air_Cube_MC.py:267-280): a particle's first-ever
+collision ends a *partial* path which is discarded (``has_collided`` flips
+True); each subsequent collision emits the completed path, corrected by the
+overshoot ``|v| * t`` beyond the true impact time.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..state import Measurements, ParticleState
+
+
+def path_components(vel: jnp.ndarray) -> jnp.ndarray:
+    """(N, 4) |velocity| magnitudes in path-axis order (total, x, y, z)."""
+    speed = jnp.linalg.norm(vel, axis=-1)
+    return jnp.stack(
+        [speed, jnp.abs(vel[..., 0]), jnp.abs(vel[..., 1]),
+         jnp.abs(vel[..., 2])],
+        axis=-1,
+    )
+
+
+def accumulate_drift(state: ParticleState, dt: float) -> jnp.ndarray:
+    """Distance accrued during one drift (Open_Air_Cube_MC.py:184-187)."""
+    return state.paths + dt * path_components(state.vel)
+
+
+def record_completed(
+    measure: Measurements,
+    paths_before: jnp.ndarray,      # (N, 4) accumulators before this event
+    has_collided_before: jnp.ndarray,  # (N,)
+    vel_before: jnp.ndarray,        # (N, 3) velocity before the event
+    t: jnp.ndarray,                 # (N,) back-trace time of the event
+    mask: jnp.ndarray,              # (N,) which particles had the event
+    num_bins: int,
+    hist_hi: float,
+) -> Measurements:
+    """Bin completed paths ``|path_k - |v_k| * t|`` for masked particles.
+
+    Only particles whose partial path already ended (has_collided) emit
+    (Open_Air_Cube_MC.py:267-272).
+    """
+    emit = mask & has_collided_before
+    comps = jnp.abs(paths_before - path_components(vel_before) * t[:, None])
+
+    bin_width = hist_hi / num_bins
+    ids = jnp.clip(
+        jnp.floor(comps / bin_width).astype(jnp.int32), 0, num_bins
+    )
+    # One scatter for all 4 axes: flat bin = axis * (num_bins+1) + id.
+    offsets = jnp.arange(4, dtype=jnp.int32) * (num_bins + 1)
+    flat = (ids + offsets[None, :]).reshape(-1)
+    w = jnp.broadcast_to(
+        emit[:, None].astype(jnp.float32), comps.shape
+    ).reshape(-1)
+    hist = measure.hist.reshape(-1).at[flat].add(w).reshape(measure.hist.shape)
+
+    path_sum = measure.path_sum + jnp.sum(
+        jnp.where(emit[:, None], comps, 0.0), axis=0
+    )
+    path_count = measure.path_count + jnp.sum(emit, dtype=jnp.int32)
+    return Measurements(
+        hist=hist,
+        path_sum=path_sum,
+        path_count=path_count,
+        collision_count=measure.collision_count,
+        err_count=measure.err_count,
+        overflow_count=measure.overflow_count,
+    )
+
+
+def end_paths(
+    state: ParticleState,
+    mask: jnp.ndarray,
+    t: jnp.ndarray,
+    vel_after: jnp.ndarray,
+    zero_residual: bool,
+) -> ParticleState:
+    """Reset path accumulators after a collision event.
+
+    Specular walls / pair collisions leave the overshoot distance already
+    travelled along the *new* direction: residual = |v'_k| * t
+    (Open_Air_Pore_MC.py:281-284, 332-335, 233-240).  Energized walls place
+    the particle exactly at the wall, so the residual is zero
+    (Temperature_Pore_MC.py:398-401).
+    """
+    if zero_residual:
+        residual = jnp.zeros_like(state.paths)
+    else:
+        residual = jnp.abs(path_components(vel_after) * t[:, None])
+    state.paths = jnp.where(mask[:, None], residual, state.paths)
+    state.has_collided = state.has_collided | mask
+    return state

@@ -1,0 +1,243 @@
+"""Boundary (wall) collision engine: fused masked vector ops, no loops.
+
+The reference evaluates each wall case as a boolean mask and then runs a
+per-particle Python loop inside the handler (Open_Air_Pore_MC.py:257-348,
+Temperature_Pore_MC.py:311-553).  Here each handler is a dense, branch-free
+vector transform applied under its mask; all cases fuse into one XLA pass
+over the particle arrays.
+
+Primitives:
+* specular plane (any axis)      -- Open_Air_Cube_MC.py:189-226
+* specular cylinder side wall    -- Open_Air_Pore_MC.py:294-348
+* energized (Debye) plane        -- Temperature_Pore_MC.py:349-412
+* energized cylinder side wall   -- Temperature_Pore_MC.py:414-553
+
+Energized walls resample the outgoing direction uniformly in an 85-degree
+cone about the inward normal (closed form, rng.cone_directions) and
+exchange energy with the surface: E' = E + (E_surf - E) * alpha.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import rng
+from ..state import ParticleState
+
+
+def _safe(x: jnp.ndarray) -> jnp.ndarray:
+    """Replace zeros so masked-out lanes never divide by zero."""
+    return jnp.where(x == 0.0, jnp.ones_like(x), x)
+
+
+@dataclasses.dataclass
+class WallEvent:
+    """Result of one wall case applied to the full particle set."""
+
+    state: ParticleState
+    mask: jnp.ndarray          # which particles the case actually handled
+    t: jnp.ndarray             # (N,) back-trace time
+    vel_before: jnp.ndarray    # velocities prior to the case
+    err_mask: jnp.ndarray      # degenerate geometry (reference try/except,
+                               # Open_Air_Pore_MC.py:336-338)
+    momentum_z: jnp.ndarray    # scalar ledger contributions (0 if specular)
+    energy: jnp.ndarray
+
+
+def specular_plane(state: ParticleState, mask: jnp.ndarray, axis: int,
+                   plane: float) -> WallEvent:
+    """Back-trace to the plane and flip the normal velocity component.
+
+    t = (p - plane)/v ; v' = -v ; p' = plane + t * v'
+    (Open_Air_Cube_MC.py:192-195).
+    """
+    vel_before = state.vel
+    p = state.pos[:, axis]
+    v = state.vel[:, axis]
+    t = (p - plane) / _safe(v)
+    new_v = -v
+    new_p = plane + t * new_v
+    state.pos = state.pos.at[:, axis].set(jnp.where(mask, new_p, p))
+    state.vel = state.vel.at[:, axis].set(jnp.where(mask, new_v, v))
+    zero = jnp.zeros((), state.pos.dtype)
+    return WallEvent(state, mask, t, vel_before,
+                     jnp.zeros_like(mask), zero, zero)
+
+
+def _cylinder_backtrace(pos, vel, radius):
+    """Solve |p_xy - v_xy t|^2 = R^2 for the smaller root.
+
+    Returns (t, ok) where ok=False marks degenerate geometry (the backward
+    ray misses the inset circle; reference catches the FloatingPointError
+    and leaves the particle untouched, Open_Air_Pore_MC.py:310-338).
+    """
+    x, y = pos[:, 0], pos[:, 1]
+    vx, vy = vel[:, 0], vel[:, 1]
+    a = vx * vx + vy * vy
+    b = -2.0 * (x * vx + y * vy)
+    c = x * x + y * y - radius * radius
+    disc = b * b - 4.0 * a * c
+    ok = (disc >= 0.0) & (a > 0.0)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t = (-b - sq) / (2.0 * _safe(a))  # min root (a > 0)
+    return t, ok
+
+
+def specular_cylinder(state: ParticleState, mask: jnp.ndarray,
+                      radius: float) -> WallEvent:
+    """2D normal reflection off a cylinder side wall of ``radius``.
+
+    Back-trace to the inset circle, reflect (vx,vy) about the surface
+    normal, replay (Open_Air_Pore_MC.py:294-348).  vz unchanged.
+    """
+    vel_before = state.vel
+    t, ok = _cylinder_backtrace(state.pos, state.vel, radius)
+    handled = mask & ok
+    err = mask & ~ok
+
+    x, y = state.pos[:, 0], state.pos[:, 1]
+    vx, vy = state.vel[:, 0], state.vel[:, 1]
+    col_x = x - vx * t
+    col_y = y - vy * t
+    nx_, ny_ = col_x / radius, col_y / radius
+    dot = vx * nx_ + vy * ny_
+    new_vx = vx - 2.0 * dot * nx_
+    new_vy = vy - 2.0 * dot * ny_
+    new_x = col_x + new_vx * t
+    new_y = col_y + new_vy * t
+
+    state.pos = state.pos.at[:, 0].set(jnp.where(handled, new_x, x))
+    state.pos = state.pos.at[:, 1].set(jnp.where(handled, new_y, y))
+    state.vel = state.vel.at[:, 0].set(jnp.where(handled, new_vx, vx))
+    state.vel = state.vel.at[:, 1].set(jnp.where(handled, new_vy, vy))
+    zero = jnp.zeros((), state.pos.dtype)
+    return WallEvent(state, handled, t, vel_before, err, zero, zero)
+
+
+def _thermal_exchange(vel, surface_energy, alpha, mass):
+    """Debye accommodation: E' = E + (E_surf - E) * alpha.
+
+    Returns (new_speed, delta_E) per particle
+    (Temperature_Pore_MC.py:377-385).
+    """
+    speed2 = jnp.sum(vel * vel, axis=-1)
+    energy = 0.5 * mass * speed2
+    new_energy = energy + (surface_energy - energy) * alpha
+    new_speed = jnp.sqrt(jnp.maximum(new_energy * 2.0 / mass, 0.0))
+    return new_speed, new_energy - energy
+
+
+def energized_plane(
+    state: ParticleState,
+    mask: jnp.ndarray,
+    plane: float,
+    inbound_sign: float,
+    surface_energy: float,
+    alpha: float,
+    mass: float,
+    cos_cone: float,
+    uniforms: jnp.ndarray,
+) -> WallEvent:
+    """Thermal wall on a z-plane (Temperature_Pore_MC.py:349-412).
+
+    Particle is placed AT the impact point (no replay), re-emitted in a
+    cone about (0, 0, inbound_sign) with the accommodated speed.
+    """
+    vel_before = state.vel
+    z = state.pos[:, 2]
+    vz = state.vel[:, 2]
+    t = (z - plane) / _safe(vz)
+    col_x = state.pos[:, 0] - state.vel[:, 0] * t
+    col_y = state.pos[:, 1] - state.vel[:, 1] * t
+
+    axis = jnp.zeros_like(state.vel).at[:, 2].set(inbound_sign)
+    direction = rng.cone_directions(uniforms, axis, cos_cone)
+    new_speed, d_energy = _thermal_exchange(
+        state.vel, surface_energy, alpha, mass
+    )
+    new_vel = direction * new_speed[:, None]
+
+    d_pz = mass * (new_vel[:, 2] - vz)
+    mask_f = mask.astype(state.pos.dtype)
+    momentum_z = jnp.sum(mask_f * d_pz)
+    energy = jnp.sum(mask_f * d_energy)
+
+    new_pos = jnp.stack(
+        [col_x, col_y, jnp.full_like(col_x, plane)], axis=-1
+    )
+    state.pos = jnp.where(mask[:, None], new_pos, state.pos)
+    state.vel = jnp.where(mask[:, None], new_vel, state.vel)
+    return WallEvent(state, mask, t, vel_before,
+                     jnp.zeros_like(mask), momentum_z, energy)
+
+
+def energized_cylinder(
+    state: ParticleState,
+    mask: jnp.ndarray,
+    radius: float,
+    surface_energy: Callable[[jnp.ndarray], jnp.ndarray] | float,
+    alpha: float,
+    mass: float,
+    cos_cone: float,
+    uniforms: jnp.ndarray,
+) -> WallEvent:
+    """Thermal cylinder side wall (Temperature_Pore_MC.py:414-553).
+
+    ``surface_energy`` is either a constant (coated walls) or a callable of
+    the impact z (the alumina gap wall's linear temperature ramp,
+    Temperature_Pore_MC.py:143-152 -- evaluated here via the precomputed
+    Debye table instead of a per-impact quadrature).
+    """
+    vel_before = state.vel
+    t, ok = _cylinder_backtrace(state.pos, state.vel, radius)
+    handled = mask & ok
+    err = mask & ~ok
+
+    col = state.pos - state.vel * t[:, None]
+    # Inward normal: -[col_x, col_y, 0]/R (Temperature_Pore_MC.py:442-444).
+    inward = jnp.stack(
+        [-col[:, 0] / radius, -col[:, 1] / radius, jnp.zeros_like(t)],
+        axis=-1,
+    )
+    direction = rng.cone_directions(uniforms, inward, cos_cone)
+
+    if callable(surface_energy):
+        e_surf = surface_energy(col[:, 2])
+    else:
+        e_surf = surface_energy
+    new_speed, d_energy = _thermal_exchange(state.vel, e_surf, alpha, mass)
+    new_vel = direction * new_speed[:, None]
+
+    d_pz = mass * (new_vel[:, 2] - state.vel[:, 2])
+    mask_f = handled.astype(state.pos.dtype)
+    momentum_z = jnp.sum(mask_f * d_pz)
+    energy = jnp.sum(mask_f * d_energy)
+
+    state.pos = jnp.where(handled[:, None], col, state.pos)
+    state.vel = jnp.where(handled[:, None], new_vel, state.vel)
+    return WallEvent(state, handled, t, vel_before, err, momentum_z, energy)
+
+
+def gap_energy_interp(table_z_lo: float, table_z_hi: float,
+                      energies: jnp.ndarray):
+    """Linear interpolation of the precomputed gap Debye-energy table."""
+    n = energies.shape[0]
+
+    def interp(z: jnp.ndarray) -> jnp.ndarray:
+        frac = (z - table_z_lo) / (table_z_hi - table_z_lo) * (n - 1)
+        frac = jnp.clip(frac, 0.0, n - 1.0)
+        lo = jnp.floor(frac).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, n - 1)
+        w = frac - lo
+        return energies[lo] * (1.0 - w) + energies[hi] * w
+
+    return interp
+
+
+def cos_cone_from_deg(half_angle_deg: float) -> float:
+    return math.cos(math.radians(half_angle_deg))

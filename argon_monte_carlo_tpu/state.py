@@ -1,0 +1,115 @@
+"""Particle state and measurement accumulators as JAX pytrees.
+
+Struct-of-arrays layout: ``pos``/``vel`` are ``(N, 3)`` so elementwise
+physics stays dense on the VPU; kernels that want per-component vectors
+slice columns (XLA keeps these fused).
+
+The reference keeps the same state as twelve separate numpy arrays plus
+unbounded Python lists of completed free paths (Open_Air_Pore_MC.py:385-413).
+The lists are the one unbounded-memory structure in the reference; since
+its outputs only ever use *binned* densities and means, we accumulate
+fixed-size histograms and running sums on device instead (SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+# Path component order used everywhere: total, x, y, z.
+NUM_PATH_AXES = 4
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ParticleState:
+    """Per-particle simulation state.
+
+    pos:  (N, 3) positions [m]
+    vel:  (N, 3) velocities [m/s]
+    paths: (N, 4) distance accumulated since last collision
+           (total, x, y, z) -- reference ``dist*_since_collision``
+           (Open_Air_Cube_MC.py:130-133)
+    has_collided: (N,) bool -- reference ``full_path_traveled``; the first
+           collision ends a *partial* path that is discarded
+           (Open_Air_Cube_MC.py:139, 267-280)
+    """
+
+    pos: jax.Array
+    vel: jax.Array
+    paths: jax.Array
+    has_collided: jax.Array
+
+    @property
+    def num_particles(self) -> int:
+        return self.pos.shape[0]
+
+    @staticmethod
+    def zeros(n: int, dtype: Any = jnp.float32) -> "ParticleState":
+        return ParticleState(
+            pos=jnp.zeros((n, 3), dtype),
+            vel=jnp.zeros((n, 3), dtype),
+            paths=jnp.zeros((n, NUM_PATH_AXES), dtype),
+            has_collided=jnp.zeros((n,), jnp.bool_),
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Measurements:
+    """On-device accumulators replacing the reference's Manager lists.
+
+    hist: (4, num_bins + 1) completed-free-path histogram counts per axis
+          (total, x, y, z); the final bin collects values beyond
+          ``hist_range`` (the reference's ax.hist simply drops them from
+          the plot range but they still enter the mean).
+    path_sum / path_count: running sum & count of ALL completed paths per
+          axis, for exact mean-free-path reporting
+          (Open_Air_Cube_MC.py:386-392).
+    collision_count: total collision events (reference
+          ``num_collisions_per_step`` accumulated; Open_Air_Pore_MC.py:424).
+    err_count: wall-solver degeneracies (reference ``total_errs``,
+          Open_Air_Pore_MC.py:336-338).
+    overflow_count: particles dropped from over-capacity cells (TPU-only
+          diagnostic; no reference analogue).
+    """
+
+    hist: jax.Array
+    path_sum: jax.Array
+    path_count: jax.Array
+    collision_count: jax.Array
+    err_count: jax.Array
+    overflow_count: jax.Array
+
+    @staticmethod
+    def zeros(num_bins: int, dtype: Any = jnp.float32) -> "Measurements":
+        return Measurements(
+            hist=jnp.zeros((NUM_PATH_AXES, num_bins + 1), jnp.float32),
+            path_sum=jnp.zeros((NUM_PATH_AXES,), dtype),
+            path_count=jnp.zeros((), jnp.int32),
+            collision_count=jnp.zeros((), jnp.int32),
+            err_count=jnp.zeros((), jnp.int32),
+            overflow_count=jnp.zeros((), jnp.int32),
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StepMetrics:
+    """Per-timestep scalars (stacked over an epoch by lax.scan).
+
+    momentum_z / energy_hot / energy_cold mirror the reference's per-step
+    ledger (Temperature_Pore_MC.py:685-687, 755-758); the rest are audit
+    counters.
+    """
+
+    momentum_z: jax.Array
+    energy_hot: jax.Array
+    energy_cold: jax.Array
+    collisions: jax.Array
+    wall_hits: jax.Array
+    oob_after_walls: jax.Array
+    oob_after_pairs: jax.Array

@@ -34,8 +34,10 @@ class EngineConfig:
     broadphase: str = "cells"
     # Target mean particles per occupied cell (sets the cell size).
     cell_occupancy: float = 6.0
-    # Max particles stored per cell; overflow is counted in metrics.
-    cell_capacity: int = 16
+    # Max particles stored per cell; None = auto from the occupancy
+    # Poisson tail (occ + 5*sqrt(occ) + 4, rounded up to 8).  Overflow is
+    # counted in metrics either way.
+    cell_capacity: Optional[int] = None
     # Tile size for the all-pairs broad phase.
     allpairs_tile: int = 2048
     # Steps per lax.scan epoch (no host round-trips within an epoch).
@@ -189,3 +191,15 @@ def cell_size_for(cfg_engine: EngineConfig, physics: GasPhysics,
                   num_particles: int, fluid_volume: float) -> float:
     density = num_particles / fluid_volume
     return _required_cell_size(cfg_engine, physics, density)
+
+
+def cell_capacity_for(cfg_engine: EngineConfig, physics: GasPhysics,
+                      num_particles: int, fluid_volume: float) -> int:
+    """Per-cell slot count covering the Poisson occupancy tail."""
+    if cfg_engine.cell_capacity is not None:
+        return cfg_engine.cell_capacity
+    density = num_particles / fluid_volume
+    size = _required_cell_size(cfg_engine, physics, density)
+    occ = density * size**3
+    cap = occ + 5.0 * math.sqrt(max(occ, 1.0)) + 4.0
+    return int(math.ceil(cap / 8.0) * 8)

@@ -20,7 +20,7 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from .config import CubeConfig, PoreConfig, cell_size_for
+from .config import CubeConfig, PoreConfig, cell_capacity_for, cell_size_for
 from .ops import collide
 from .ops import measure as measure_ops
 from .state import Measurements, ParticleState, StepMetrics
@@ -69,16 +69,15 @@ def make_step_fn(workload: Workload):
         cell_size = cell_size_for(
             eng, physics, cfg.num_molecules, workload.fluid_volume
         )
+        capacity = cell_capacity_for(
+            eng, physics, cfg.num_molecules, workload.fluid_volume
+        )
         geom = cfg.geometry
         if hasattr(geom, "total_height"):  # pore
-            host_grid = collide.grid_for_pore(
-                geom, cell_size, eng.cell_capacity
-            )
+            host_grid = collide.grid_for_pore(geom, cell_size, capacity)
             center = (0.0, 0.0)
         else:  # cube
-            host_grid = collide.grid_for_cube(
-                geom, cell_size, eng.cell_capacity
-            )
+            host_grid = collide.grid_for_cube(geom, cell_size, capacity)
             center = (geom.lx / 2.0, geom.ly / 2.0)
         device_grid = collide.DeviceGrid.from_grid(
             host_grid, jnp.dtype(eng.dtype), center
@@ -113,12 +112,15 @@ def make_step_fn(workload: Workload):
 
         # PARTICLE-PARTICLE COLLISIONS
         partner, overflow = search(state.pos)
-        state, measure, pair_collisions = collide.resolve_collisions(
+        state, measure, pair_collisions, _ = collide.resolve_collisions(
             state, measure, partner, cr, physics.mass,
             eng.num_bins, eng.hist_range[1],
         )
         state, oob_pairs = workload.post_pairs(state)
 
+        measure = measure_ops.flush_pending(
+            measure, eng.num_bins, eng.hist_range[1]
+        )
         measure.overflow_count = measure.overflow_count + overflow
         measure.err_count = measure.err_count + ledger.errs
         measure.collision_count = measure.collision_count + ledger.wall_hits
@@ -160,7 +162,8 @@ class Simulation:
         init_key, run_key = jax.random.split(key)
         state = self.workload.init_fn(init_key)
         measure = Measurements.zeros(
-            self.cfg.engine.num_bins, jnp.dtype(self.cfg.engine.dtype)
+            self.cfg.engine.num_bins, jnp.dtype(self.cfg.engine.dtype),
+            num_particles=state.num_particles,
         )
         return state, measure, run_key
 
@@ -195,3 +198,9 @@ class Simulation:
             *all_metrics,
         ) if all_metrics else None
         return state, measure, stacked
+
+    @staticmethod
+    def finalize_measure(measure: Measurements) -> Measurements:
+        """Global accumulator totals (identity on a single chip; the
+        sharded engine sums across shards here)."""
+        return measure

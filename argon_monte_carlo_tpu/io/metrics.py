@@ -1,0 +1,72 @@
+"""Structured metrics logging (JSONL) + phase timing.
+
+Replaces the reference's print-based observability (per-step collision
+counts, OOB counts, phase runtimes; Open_Air_Pore_MC.py:512-557) with
+machine-readable per-epoch records.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import IO, Optional
+
+import numpy as np
+
+
+class MetricsLogger:
+    """Append-only JSONL writer for per-epoch simulation metrics."""
+
+    def __init__(self, path: Optional[str] = None, stream: Optional[IO] = None):
+        self._fh = open(path, "a") if path else stream
+        self._t0 = time.time()
+        self._steps_done = 0
+
+    def log_epoch(self, metrics, num_particles: int,
+                  first_step: int) -> dict:
+        m = {k: np.asarray(v) for k, v in vars(metrics).items()}
+        n_steps = int(m["collisions"].shape[0])
+        self._steps_done += n_steps
+        now = time.time()
+        record = {
+            "time": now,
+            "elapsed_s": now - self._t0,
+            "first_step": int(first_step),
+            "steps": n_steps,
+            "collisions": int(m["collisions"].sum()),
+            "wall_hits": int(m["wall_hits"].sum()),
+            "momentum_z_sum": float(m["momentum_z"].sum()),
+            "energy_hot_sum": float(m["energy_hot"].sum()),
+            "energy_cold_sum": float(m["energy_cold"].sum()),
+            "oob_after_walls": int(m["oob_after_walls"].sum()),
+            "oob_after_pairs": int(m["oob_after_pairs"].sum()),
+            "particle_steps_per_sec": (
+                self._steps_done * num_particles / max(now - self._t0, 1e-9)
+            ),
+        }
+        if self._fh is not None:
+            self._fh.write(json.dumps(record) + "\n")
+            self._fh.flush()
+        return record
+
+    def close(self):
+        if self._fh is not None:
+            self._fh.close()
+
+
+class PhaseTimer:
+    """Wall-clock phase timing (reference time.time() deltas,
+    Open_Air_Pore_MC.py:514-517) -- host-side, for coarse profiling;
+    use jax.profiler for device traces."""
+
+    def __init__(self):
+        self.totals: dict[str, float] = {}
+        self._start: dict[str, float] = {}
+
+    def start(self, name: str):
+        self._start[name] = time.time()
+
+    def stop(self, name: str):
+        self.totals[name] = self.totals.get(name, 0.0) + (
+            time.time() - self._start.pop(name)
+        )

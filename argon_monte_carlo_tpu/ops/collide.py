@@ -204,8 +204,13 @@ jax.tree_util.register_dataclass(
 # --------------------------------------------------------------------------
 
 
-def assign_cells(pos: jnp.ndarray, grid: DeviceGrid) -> jnp.ndarray:
-    """(N,) flat cell id per particle (strays clamp into edge cells)."""
+def assign_cells(pos: jnp.ndarray, grid: DeviceGrid,
+                 valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """(N,) flat cell id per particle (strays clamp into edge cells).
+
+    Particles with ``valid=False`` map to the dummy cell ``num_cells`` and
+    therefore never participate in pair search (sharded-engine padding).
+    """
     x = pos[:, 0] - grid.center_x
     y = pos[:, 1] - grid.center_y
     z = pos[:, 2]
@@ -222,7 +227,10 @@ def assign_cells(pos: jnp.ndarray, grid: DeviceGrid) -> jnp.ndarray:
     iy = jnp.clip(
         jnp.floor((y + half) / grid.cell_size).astype(jnp.int32), 0, nx - 1
     )
-    return base + iy * nx + ix
+    cid = base + iy * nx + ix
+    if valid is not None:
+        cid = jnp.where(valid, cid, grid.num_cells)
+    return cid
 
 
 def build_cell_table(cell_id: jnp.ndarray, grid: DeviceGrid):
@@ -243,74 +251,145 @@ def build_cell_table(cell_id: jnp.ndarray, grid: DeviceGrid):
     start_idx = jnp.where(is_start, idx, 0)
     first = jax.lax.associative_scan(jnp.maximum, start_idx)
     rank = idx - first
-    valid = rank < cap
-    overflow = jnp.sum(~valid, dtype=jnp.int32)
-    # Invalid ranks write into the dummy cell's slots (row C of the table).
+    in_cap = rank < cap
+    real = sorted_cid < grid.num_cells  # dummy-binned padding is not overflow
+    overflow = jnp.sum(~in_cap & real, dtype=jnp.int32)
+    # Out-of-capacity ranks write into the dummy cell's slots (row C).
     slot = jnp.where(
-        valid, sorted_cid * cap + rank, grid.num_cells * cap
+        in_cap, sorted_cid * cap + rank, grid.num_cells * cap
     )
     table = jnp.full(((grid.num_cells + 1) * cap,), n, dtype=jnp.int32)
-    # Overflow writes collide on the dummy slot; any winner is fine there.
     table = table.at[slot].set(order.astype(jnp.int32), mode="drop")
-    table = table.at[grid.num_cells * cap].set(n)  # keep dummy row empty
-    return table.reshape(grid.num_cells + 1, cap), overflow, order
+    table = table.reshape(grid.num_cells + 1, cap)
+    # Wipe the dummy row (collects overflow + invalid padding writes).
+    table = table.at[grid.num_cells].set(n)
+    # Inverse map particle -> slot (overflow/dummy-binned particles point
+    # at the dummy row and read back "no partner").
+    pslot = jnp.zeros((n,), jnp.int32).at[order].set(
+        slot.astype(jnp.int32)
+    )
+    return table, overflow, pslot
 
 
 def cell_partner_search(
     pos: jnp.ndarray,
     grid: DeviceGrid,
     search_radius: float,
+    ids: jnp.ndarray | None = None,
+    valid: jnp.ndarray | None = None,
+    cell_window: tuple | None = None,
 ):
     """Nearest overlapping partner per particle via the cell table.
+
+    ids:   optional (N,) globally-unique particle ids used for
+           self-exclusion (defaults to the array index); the sharded
+           engine passes global ids so a particle and its remote ghost
+           copy are distinct entries but a particle never pairs with
+           itself.
+    valid: optional (N,) mask; invalid lanes are excluded entirely.
+    cell_window: optional (start, num_cells_static) restricting the sweep
+           to a contiguous flat-cell-id range (the sharded engine sweeps
+           only its own z-slab's cells; flat ids are z-major so a slab is
+           contiguous).
 
     Returns (partner (N,) int32 with -1 for none, overflow_count).
     """
     n = pos.shape[0]
-    cell_id = assign_cells(pos, grid)
-    table, overflow, _ = build_cell_table(cell_id, grid)
+    cap = grid.capacity
+    num_rows = grid.num_cells + 1
+    cell_id = assign_cells(pos, grid, valid)
+    table, overflow, pslot = build_cell_table(cell_id, grid)
 
-    # Dummy row: far away so it never matches.
-    pos_pad = jnp.concatenate(
-        [pos, jnp.full((1, 3), 1e9, pos.dtype)], axis=0
-    )
+    # Gather particle data into dense per-slot component planes
+    # (num_rows, cap).  All later neighbour access is then contiguous
+    # CELL-row gathers of the planes -- TPU-friendly streaming -- instead
+    # of per-particle row gathers inside the offset loop (which compiled
+    # to a gather chain ~100x slower and took minutes to build).
+    # One packed row gather builds all three coordinate planes; the
+    # index plane IS the table, so it needs no gather at all.
+    flat_idx = table.reshape(-1)                       # slot -> particle
+    in_slot = flat_idx < n
+    src = jnp.where(in_slot, flat_idx, 0)
 
-    own_idx = table[: grid.num_cells]                  # (C, cap)
-    own_pos = pos_pad[own_idx]                         # (C, cap, 3)
+    far = jnp.asarray(1e9, pos.dtype)
+    packed = pos[src]                                  # (slots, 3) rows
+    packed = jnp.where(in_slot[:, None], packed, far)
+
+    def plane(col):
+        return packed[:, col].reshape(num_rows, cap)
+
+    px, py, pz = plane(0), plane(1), plane(2)
+    pix = table                                        # (num_rows, cap)
+    if ids is None:
+        # Self-exclusion ids == particle indices: reuse the table, with a
+        # distinct sentinel so empty slots never "match" anything.
+        pid = jnp.where(table < n, table, -2)
+    else:
+        pid = jnp.where(
+            in_slot, ids.astype(jnp.int32)[src], jnp.int32(-2)
+        ).reshape(num_rows, cap)
+
+    if cell_window is None:
+        start, width = 0, grid.num_cells
+    else:
+        start, width = cell_window
+
+    def window(p):
+        return jax.lax.dynamic_slice_in_dim(p, start, width, axis=0)
+
+    ox, oy, oz = window(px), window(py), window(pz)
+    oid = window(pid)
+    oix = window(pix)
+    nbr = jax.lax.dynamic_slice_in_dim(grid.neighbors, start, width, axis=0)
+
     r2 = jnp.asarray(search_radius * search_radius, pos.dtype)
-    big = jnp.asarray(jnp.inf, pos.dtype)
+    big = jnp.asarray(jnp.finfo(pos.dtype).max, pos.dtype)
+    best_d2 = ox * 0.0 + big
+    best_ix = oix * 0 + jnp.int32(n)
 
-    def body(o, carry):
-        best_d2, best_idx = carry
-        nb_cell = jax.lax.dynamic_index_in_dim(
-            grid.neighbors, o, axis=1, keepdims=False
-        )                                              # (C,)
-        nb_idx = table[nb_cell]                        # (C, cap)
-        nb_pos = pos_pad[nb_idx]                       # (C, cap, 3)
-        diff = own_pos[:, :, None, :] - nb_pos[:, None, :, :]
-        d2 = jnp.sum(diff * diff, axis=-1)             # (C, cap, cap)
-        hit = (d2 < r2) & (nb_idx[:, None, :] != own_idx[:, :, None])
+    # Offset-grouped sweep: offsets are processed in groups of 5 so the
+    # candidate (minor) axis is 5*cap wide -- near-full VPU lane
+    # utilization instead of the ~19% a bare `cap` axis gets after
+    # 128-lane padding.  Candidate selection uses a masked min over
+    # indices instead of argmin/take_along_axis (both lower to
+    # per-element gathers on TPU and were ~100x slower).
+    int_big = jnp.int32(2**30)
+    group = 5
+    for o0 in range(0, 27, group):
+        sel = nbr[:, o0:o0 + group]                    # (C, g)
+        g = sel.shape[1]
+        nx_ = px[sel].reshape(width, g * cap)
+        ny_ = py[sel].reshape(width, g * cap)
+        nz_ = pz[sel].reshape(width, g * cap)
+        nid = pid[sel].reshape(width, g * cap)
+        nix = pix[sel].reshape(width, g * cap)
+        dx = ox[:, :, None] - nx_[:, None, :]
+        dy = oy[:, :, None] - ny_[:, None, :]
+        dz = oz[:, :, None] - nz_[:, None, :]
+        d2 = dx * dx + dy * dy + dz * dz               # (C, cap, g*cap)
+        hit = (d2 < r2) & (nid[:, None, :] != oid[:, :, None])
         d2m = jnp.where(hit, d2, big)
-        j = jnp.argmin(d2m, axis=-1)                   # (C, cap)
-        d_best = jnp.min(d2m, axis=-1)
-        cand = jnp.take_along_axis(nb_idx, j, axis=-1)
-        upd = d_best < best_d2
-        return (
-            jnp.where(upd, d_best, best_d2),
-            jnp.where(upd, cand, best_idx),
+        d_best = jnp.min(d2m, axis=-1)                 # (C, cap)
+        # Smallest candidate index achieving the min (exact f32 equality:
+        # the reduction returns one of the computed values verbatim).
+        cand = jnp.min(
+            jnp.where(d2m == d_best[:, :, None], nix[:, None, :], int_big),
+            axis=-1,
         )
+        upd = d_best < best_d2
+        best_d2 = jnp.where(upd, d_best, best_d2)
+        best_ix = jnp.where(upd, cand, best_ix)
 
-    init = (
-        jnp.full(own_idx.shape, big),
-        jnp.full(own_idx.shape, n, dtype=jnp.int32),
-    )
-    best_d2, best_idx = jax.lax.fori_loop(0, 27, body, init)
-
-    found = jnp.isfinite(best_d2)
-    partner_flat = jnp.where(found, best_idx, -1).reshape(-1)
-    # Scatter back to particle order; sentinel rows land on dummy row n.
-    partner = jnp.full((n + 1,), -1, jnp.int32)
-    partner = partner.at[own_idx.reshape(-1)].set(partner_flat, mode="drop")
-    return partner[:n], overflow
+    found = best_d2 < r2
+    partner_flat = jnp.where(found, best_ix, -1).reshape(-1)
+    # Read back to particle order through the particle->slot map (an
+    # N-sized gather; the former slot->particle scatter moved C*cap
+    # elements and cost ~5% of the whole step).
+    rel = pslot - jnp.int32(start) * cap
+    in_window = (rel >= 0) & (rel < width * cap)
+    rel = jnp.clip(rel, 0, width * cap - 1)
+    partner = jnp.where(in_window, partner_flat[rel], -1)
+    return partner, overflow
 
 
 def allpairs_partner_search(
@@ -339,9 +418,13 @@ def allpairs_partner_search(
         cand_idx = tile_off + jnp.arange(tile, dtype=jnp.int32)
         hit = (d2 < r2) & (my_idx[:, None] != cand_idx[None, :])
         d2m = jnp.where(hit, d2, big)
-        j = jnp.argmin(d2m, axis=-1)
-        d_best = jnp.take_along_axis(d2m, j[:, None], axis=-1)[:, 0]
-        cand = cand_idx[j]
+        d_best = jnp.min(d2m, axis=-1)
+        # Masked min over indices instead of argmin/take_along_axis
+        # (those lower to slow per-element gathers on TPU).
+        cand = jnp.min(
+            jnp.where(d2m == d_best[:, None], cand_idx[None, :], 2**30),
+            axis=-1,
+        )
         upd = d_best < best_d2
         return (
             jnp.where(upd, d_best, best_d2),
@@ -371,6 +454,7 @@ def resolve_collisions(
     mass: float,
     num_bins: int,
     hist_hi: float,
+    local_mask: jnp.ndarray | None = None,
 ):
     """Mutually-matched elastic hard-sphere impulse exchange.
 
@@ -387,7 +471,13 @@ def resolve_collisions(
     partner state; the formula's symmetry guarantees both sides agree, so
     there are no scatters and no write races.
 
-    Returns (state, measure, n_collisions).
+    ``local_mask`` (sharded engine): lanes holding remote ghost copies are
+    False -- they participate in matching but their state/measurement
+    updates belong to the owning shard.  When given, the returned count is
+    sum(ok & local) (each cross-shard pair contributes once per side; the
+    caller psums across shards and divides by 2).
+
+    Returns (state, measure, n_collisions, ok_mask).
     """
     n = state.pos.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -416,19 +506,24 @@ def resolve_collisions(
     new_vel = state.vel - p_scal[:, None] * normal
     new_pos = qa + new_vel * t[:, None]
 
+    apply = ok if local_mask is None else (ok & local_mask)
+
     # Record completed paths with the PRE-collision velocity and t.
     measure = measure_ops.record_completed(
-        measure, state.paths, state.has_collided, state.vel, t, ok,
+        measure, state.paths, state.has_collided, state.vel, t, apply,
         num_bins, hist_hi,
     )
 
-    vel_before = state.vel
-    state.pos = jnp.where(ok[:, None], new_pos, state.pos)
-    state.vel = jnp.where(ok[:, None], new_vel, state.vel)
-    state = measure_ops.end_paths(state, ok, t, state.vel,
+    state.pos = jnp.where(apply[:, None], new_pos, state.pos)
+    state.vel = jnp.where(apply[:, None], new_vel, state.vel)
+    state = measure_ops.end_paths(state, apply, t, state.vel,
                                   zero_residual=False)
 
-    n_collisions = jnp.sum(ok, dtype=jnp.int32) // 2
-    measure.collision_count = measure.collision_count + n_collisions
-    del vel_before
-    return state, measure, n_collisions
+    if local_mask is None:
+        n_collisions = jnp.sum(ok, dtype=jnp.int32) // 2
+        measure.collision_count = measure.collision_count + n_collisions
+    else:
+        # The sharded caller counts each pair exactly once itself (on the
+        # shard owning the lower global id) and updates the accumulator.
+        n_collisions = jnp.sum(apply, dtype=jnp.int32)
+    return state, measure, n_collisions, ok

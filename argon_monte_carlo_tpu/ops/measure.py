@@ -45,38 +45,59 @@ def record_completed(
     num_bins: int,
     hist_hi: float,
 ) -> Measurements:
-    """Bin completed paths ``|path_k - |v_k| * t|`` for masked particles.
+    """Record completed paths ``|path_k - |v_k| * t|`` for masked particles.
 
     Only particles whose partial path already ended (has_collided) emit
-    (Open_Air_Cube_MC.py:267-272).
+    (Open_Air_Cube_MC.py:267-272).  Sums/counts update exactly here; the
+    histogram binning is staged into ``measure.pending_*`` and flushed by
+    ``flush_pending`` once per step (see state.Measurements).
     """
     emit = mask & has_collided_before
     comps = jnp.abs(paths_before - path_components(vel_before) * t[:, None])
 
+    measure.path_sum = measure.path_sum + jnp.sum(
+        jnp.where(emit[:, None], comps, 0.0), axis=0
+    )
+    measure.path_count = measure.path_count + jnp.sum(emit, dtype=jnp.int32)
+    m = comps.shape[0]
+    pn = measure.pending_vals.shape[0]
+    if pn == m:
+        measure.pending_vals = jnp.where(
+            emit[:, None], comps, measure.pending_vals
+        )
+        measure.pending_mask = measure.pending_mask | emit
+    elif pn > m:
+        # Sharded engine: wall-phase events cover only the local buffer
+        # lanes of a pending area sized for local+ghost lanes.
+        measure.pending_vals = measure.pending_vals.at[:m].set(
+            jnp.where(emit[:, None], comps, measure.pending_vals[:m])
+        )
+        measure.pending_mask = measure.pending_mask.at[:m].set(
+            measure.pending_mask[:m] | emit
+        )
+    # pn == 0 (unit tests on bare accumulators): binning disabled.
+    return measure
+
+
+def flush_pending(measure: Measurements, num_bins: int,
+                  hist_hi: float) -> Measurements:
+    """One scatter-add flushing all staged events into the histogram."""
     bin_width = hist_hi / num_bins
     ids = jnp.clip(
-        jnp.floor(comps / bin_width).astype(jnp.int32), 0, num_bins
+        jnp.floor(measure.pending_vals / bin_width).astype(jnp.int32),
+        0, num_bins,
     )
-    # One scatter for all 4 axes: flat bin = axis * (num_bins+1) + id.
     offsets = jnp.arange(4, dtype=jnp.int32) * (num_bins + 1)
     flat = (ids + offsets[None, :]).reshape(-1)
     w = jnp.broadcast_to(
-        emit[:, None].astype(jnp.float32), comps.shape
+        measure.pending_mask[:, None].astype(jnp.float32), ids.shape
     ).reshape(-1)
-    hist = measure.hist.reshape(-1).at[flat].add(w).reshape(measure.hist.shape)
-
-    path_sum = measure.path_sum + jnp.sum(
-        jnp.where(emit[:, None], comps, 0.0), axis=0
+    measure.hist = (
+        measure.hist.reshape(-1).at[flat].add(w).reshape(measure.hist.shape)
     )
-    path_count = measure.path_count + jnp.sum(emit, dtype=jnp.int32)
-    return Measurements(
-        hist=hist,
-        path_sum=path_sum,
-        path_count=path_count,
-        collision_count=measure.collision_count,
-        err_count=measure.err_count,
-        overflow_count=measure.overflow_count,
-    )
+    measure.pending_vals = jnp.zeros_like(measure.pending_vals)
+    measure.pending_mask = jnp.zeros_like(measure.pending_mask)
+    return measure
 
 
 def end_paths(

@@ -1,0 +1,506 @@
+"""z-slab domain-decomposed engine over a JAX device mesh.
+
+TPU-native replacement for the reference's single-host multiprocessing
+runtime (Pool/Manager/Value, Open_Air_Pore_MC.py:408-549; SURVEY.md
+section 2.3): the pore is 1D-dominant along z, so each device owns a
+contiguous z-slab with a fixed-capacity particle buffer.  Per step:
+
+1. drift + wall cases + recapture run shard-locally (geometry is global
+   and stateless, so no communication);
+2. *halo exchange*: particles within ``halo_width = 2 x search_radius`` of
+   a slab face are copied to the neighbouring device via ``lax.ppermute``
+   (nearest-neighbour ICI traffic, ring-attention style);
+3. *pair collisions*: each shard searches partners over local + ghost
+   particles, sweeping only its own (halo-padded) window of global grid
+   cells.  Because the halo is two search radii deep, both shards see the
+   full neighbourhood of every boundary particle and deterministically
+   reach the SAME matching decision, so a cross-shard pair is resolved
+   consistently on both sides with no result exchange at all -- the
+   impulse formula is symmetric (ops/collide.py).  Each pair is counted
+   once, by the shard owning the lower global id.
+4. *migration*: particles that drifted across a slab face are moved to
+   the neighbour (ppermute again) and merged into free buffer slots.
+
+Ledgers are psum'd per step; measurement accumulators stay per-shard and
+are summed on the host at reporting time.  The reference's checkerboard
+coloring, locked counters and Manager lists have no analogue here: SPMD +
+symmetric resolution gives write independence by construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import cell_capacity_for, cell_size_for
+from ..engine import Workload
+from ..ops import collide
+from ..ops import measure as measure_ops
+from ..state import Measurements, ParticleState, StepMetrics
+from .mesh import AXIS, make_mesh
+
+SENTINEL = 1e9
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardPlan:
+    """Host-side decomposition plan (static per run)."""
+
+    n_shards: int
+    slab_z: np.ndarray        # (n_shards+1,) slab boundaries, on cell-layer edges
+    cell_start: np.ndarray    # (n_shards,) first swept flat cell id
+    cell_window: int          # static swept-cell count (max over shards)
+    shard_capacity: int
+    halo_capacity: int
+    migration_capacity: int
+    halo_width: float
+    park: tuple[float, float, float]
+
+
+def _volume_profile(geom, z_edges):
+    """Fluid cross-section area integrated over each z interval."""
+    if hasattr(geom, "total_height"):  # pore stack
+        def area(z):
+            if z < geom.open_air_height or z >= geom.cold_top:
+                return math.pi * geom.open_air_radius**2
+            if geom.gap_bottom <= z < geom.gap_top:
+                return math.pi * geom.gap_radius**2
+            return math.pi * geom.pore_coated_radius**2
+    else:  # cube
+        def area(z):
+            return geom.lx * geom.ly
+    mids = 0.5 * (z_edges[:-1] + z_edges[1:])
+    widths = np.diff(z_edges)
+    return np.array([area(m) for m in mids]) * widths
+
+
+def make_shard_plan(workload: Workload, n_shards: int,
+                    host_grid: collide.Grid) -> ShardPlan:
+    cfg = workload.cfg
+    geom = cfg.geometry
+    physics = cfg.physics
+    eng = cfg.engine
+    n = cfg.num_molecules
+    search_radius = physics.collision_range + eng.skin
+    halo_width = 2.0 * search_radius
+
+    # Particle-balanced slab cuts on grid-layer boundaries (SURVEY.md
+    # section 7 "load imbalance": volume-weighted, not height-equal).
+    cs = host_grid.cell_size
+    z_edges = host_grid.z_lo + cs * np.arange(host_grid.nz + 1)
+    vol = _volume_profile(geom, z_edges)
+    cum = np.concatenate([[0.0], np.cumsum(vol)])
+    cum /= cum[-1]
+    cut_layers = [0]
+    for k in range(1, n_shards):
+        cut_layers.append(int(np.searchsorted(cum, k / n_shards)))
+    cut_layers.append(host_grid.nz)
+    cut_layers = np.maximum.accumulate(cut_layers)  # monotone safety
+    slab_z = z_edges[cut_layers]
+    slab_z[0] = host_grid.z_lo
+    slab_z[-1] = host_grid.z_lo + cs * host_grid.nz
+
+    # Per-shard particle share from the volume profile.
+    shares = np.diff(cum[cut_layers])
+    max_share = float(shares.max())
+    shard_capacity = int(np.ceil(max_share * n * 1.3 / 8.0) * 8) + 8
+
+    # Swept cell windows: own layers +- halo layers.
+    halo_layers = int(math.ceil(halo_width / cs)) + 1
+    layer_cells = (host_grid.nx.astype(np.int64)) ** 2
+    layer_cum = np.concatenate([[0], np.cumsum(layer_cells)])
+    starts, widths = [], []
+    for s in range(n_shards):
+        lo = max(cut_layers[s] - halo_layers, 0)
+        hi = min(cut_layers[s + 1] + halo_layers, host_grid.nz)
+        starts.append(int(layer_cum[lo]))
+        widths.append(int(layer_cum[hi] - layer_cum[lo]))
+    cell_window = max(widths)
+
+    # Halo / migration buffer sizing from the local density near cuts.
+    density = n / workload.fluid_volume
+    max_area = vol.max() / cs  # widest cross-section area
+    band = density * max_area * halo_width
+    halo_capacity = int(np.ceil((band * 4.0 + 64.0) / 8.0) * 8)
+    # Per-step crossings ~= density * area * mean |v_z| * dt; be generous.
+    v_scale = 5.0 * physics.a_shape
+    crossings = density * max_area * v_scale * cfg.dt
+    migration_capacity = int(np.ceil((crossings * 8.0 + 64.0) / 8.0) * 8)
+
+    if hasattr(geom, "total_height"):
+        park = (0.0, 0.0, geom.total_height / 2.0)
+    else:
+        park = (geom.lx / 2.0, geom.ly / 2.0, geom.lz / 2.0)
+
+    return ShardPlan(
+        n_shards=n_shards,
+        slab_z=slab_z.astype(np.float64),
+        cell_start=np.asarray(starts, np.int32),
+        cell_window=cell_window,
+        shard_capacity=shard_capacity,
+        halo_capacity=halo_capacity,
+        migration_capacity=migration_capacity,
+        halo_width=float(halo_width),
+        park=park,
+    )
+
+
+def _compact_band(fields: dict, mask: jnp.ndarray, capacity: int):
+    """Pack masked lanes into a fixed-size buffer; returns (buf, n_dropped).
+
+    buf carries a 'flag' field marking filled slots.
+    """
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    sel = mask & (rank < capacity)
+    slot = jnp.where(sel, rank, capacity)  # capacity = junk slot
+    out = {}
+    for name, arr in fields.items():
+        pad_shape = (capacity + 1,) + arr.shape[1:]
+        fill = SENTINEL if name == "pos" else 0
+        buf = jnp.full(pad_shape, fill, arr.dtype)
+        out[name] = buf.at[slot].set(arr, mode="drop")[:capacity]
+    flag = jnp.zeros((capacity + 1,), jnp.bool_).at[slot].set(
+        sel, mode="drop"
+    )[:capacity]
+    out["flag"] = flag
+    dropped = jnp.sum(mask & ~sel, dtype=jnp.int32)
+    return out, dropped
+
+
+def _ppermute_tree(tree, perm):
+    """ppermute every leaf (bools ride as uint8); unaddressed shards
+    receive zeros, which read as flag=False / position 0 and are masked
+    out by the flag."""
+
+    def go(x):
+        if x.dtype == jnp.bool_:
+            return jax.lax.ppermute(
+                x.astype(jnp.uint8), AXIS, perm
+            ).astype(jnp.bool_)
+        return jax.lax.ppermute(x, AXIS, perm)
+
+    return jax.tree.map(go, tree)
+
+
+class ShardedSimulation:
+    """Drop-in multi-device counterpart of engine.Simulation."""
+
+    def __init__(self, workload: Workload, n_devices: Optional[int] = None,
+                 mesh: Optional[jax.sharding.Mesh] = None):
+        self.workload = workload
+        self.cfg = workload.cfg
+        cfg = self.cfg
+        eng = cfg.engine
+        physics = cfg.physics
+        self.dtype = jnp.dtype(eng.dtype)
+
+        if mesh is None:
+            mesh = make_mesh(n_devices)
+        self.mesh = mesh
+        n_shards = mesh.devices.size
+
+        cell_size = cell_size_for(eng, physics, cfg.num_molecules,
+                                  workload.fluid_volume)
+        capacity = cell_capacity_for(eng, physics, cfg.num_molecules,
+                                     workload.fluid_volume)
+        geom = cfg.geometry
+        if hasattr(geom, "total_height"):
+            self.host_grid = collide.grid_for_pore(geom, cell_size, capacity)
+            center = (0.0, 0.0)
+        else:
+            self.host_grid = collide.grid_for_cube(geom, cell_size, capacity)
+            center = (geom.lx / 2.0, geom.ly / 2.0)
+        self.device_grid = collide.DeviceGrid.from_grid(
+            self.host_grid, self.dtype, center
+        )
+        self.plan = make_shard_plan(workload, n_shards, self.host_grid)
+        self._build_epoch_fn()
+
+    # ------------------------------------------------------------------
+    def _build_epoch_fn(self):
+        plan = self.plan
+        cfg = self.cfg
+        eng = cfg.engine
+        physics = cfg.physics
+        workload = self.workload
+        grid = self.device_grid
+        dt = cfg.dt
+        cr = physics.collision_range
+        search_radius = cr + eng.skin
+        dtype = self.dtype
+        cap = plan.shard_capacity
+        hcap = plan.halo_capacity
+        mcap = plan.migration_capacity
+        n_shards = plan.n_shards
+        park = jnp.asarray(plan.park, dtype)
+        slab_z = jnp.asarray(plan.slab_z, dtype)
+        cell_start = jnp.asarray(plan.cell_start)
+        perm_up = [(i, i + 1) for i in range(n_shards - 1)]
+        perm_down = [(i + 1, i) for i in range(n_shards - 1)]
+
+        def masked_phase(state, valid, fn):
+            """Run wall/recapture logic with invalid lanes parked at a
+            safe interior point, then restore the far-away sentinel."""
+            state.pos = jnp.where(valid[:, None], state.pos, park)
+            out = fn(state)
+            state = out[0]
+            state.pos = jnp.where(valid[:, None], state.pos, SENTINEL)
+            return (state,) + out[1:]
+
+        def step(carry, step_index):
+            state, valid, gid, measure, shard_key = carry
+            key = jax.random.fold_in(shard_key, step_index)
+            me = jax.lax.axis_index(AXIS)
+            z_lo = slab_z[me]
+            z_hi = slab_z[me + 1]
+
+            # DRIFT (invalid lanes have vel=0, pos=SENTINEL: no-ops).
+            prior = state.pos
+            state.paths = measure_ops.accumulate_drift(state, dt)
+            state.pos = state.pos + dt * state.vel
+
+            # WALLS + recapture, shard-local under parking.
+            prior_parked = jnp.where(valid[:, None], prior, park)
+
+            def walls(st):
+                return workload.wall_pass(st, prior_parked, measure, key)
+
+            state, measure, ledger = masked_phase(state, valid, walls)
+            state, oob_walls = masked_phase(state, valid, workload.post_wall)
+
+            # HALO EXCHANGE: copy boundary bands to neighbours.
+            z = state.pos[:, 2]
+            up_band, d1 = _compact_band(
+                {"pos": state.pos, "vel": state.vel, "gid": gid},
+                valid & (z > z_hi - plan.halo_width), hcap,
+            )
+            down_band, d2 = _compact_band(
+                {"pos": state.pos, "vel": state.vel, "gid": gid},
+                valid & (z < z_lo + plan.halo_width), hcap,
+            )
+            ghost_from_below = _ppermute_tree(up_band, perm_up)
+            ghost_from_above = _ppermute_tree(down_band, perm_down)
+
+            def ghost_fix(g):
+                flag = g["flag"]
+                g["pos"] = jnp.where(flag[:, None], g["pos"], SENTINEL)
+                return g
+
+            gb = ghost_fix(ghost_from_below)
+            ga = ghost_fix(ghost_from_above)
+
+            # COMBINED local + ghost arrays for the pair phase.
+            pos_c = jnp.concatenate([state.pos, gb["pos"], ga["pos"]])
+            vel_c = jnp.concatenate([state.vel, gb["vel"], ga["vel"]])
+            gid_c = jnp.concatenate([gid, gb["gid"], ga["gid"]])
+            valid_c = jnp.concatenate([valid, gb["flag"], ga["flag"]])
+            local_c = jnp.concatenate([
+                valid,
+                jnp.zeros((2 * hcap,), jnp.bool_),
+            ])
+            paths_c = jnp.concatenate([
+                state.paths, jnp.zeros((2 * hcap, 4), dtype)
+            ])
+            hc_c = jnp.concatenate([
+                state.has_collided, jnp.zeros((2 * hcap,), jnp.bool_)
+            ])
+
+            partner, overflow = collide.cell_partner_search(
+                pos_c, grid, search_radius, ids=gid_c, valid=valid_c,
+                cell_window=(cell_start[me], plan.cell_window),
+            )
+            comb = ParticleState(pos=pos_c, vel=vel_c, paths=paths_c,
+                                 has_collided=hc_c)
+            comb, measure, _, ok = collide.resolve_collisions(
+                comb, measure, partner, cr, physics.mass, eng.num_bins,
+                eng.hist_range[1], local_mask=local_c,
+            )
+            # Count each pair once: the shard owning the lower gid counts.
+            safe_p = jnp.where(partner >= 0, partner, 0)
+            partner_gid = gid_c[safe_p]
+            pair_count = jnp.sum(
+                ok & local_c & (gid_c < partner_gid), dtype=jnp.int32
+            )
+            measure.collision_count = measure.collision_count + pair_count
+
+            state.pos = comb.pos[:cap]
+            state.vel = comb.vel[:cap]
+            state.paths = comb.paths[:cap]
+            state.has_collided = comb.has_collided[:cap]
+
+            state, oob_pairs = masked_phase(state, valid,
+                                            workload.post_pairs)
+            measure = measure_ops.flush_pending(
+                measure, eng.num_bins, eng.hist_range[1]
+            )
+
+            # MIGRATION: move crossers to the neighbouring shard.
+            z = state.pos[:, 2]
+            go_up = valid & (z >= z_hi) & (me < n_shards - 1)
+            go_down = valid & (z < z_lo) & (me > 0)
+            payload = {
+                "pos": state.pos, "vel": state.vel, "paths": state.paths,
+                "hc": state.has_collided, "gid": gid,
+            }
+            up_buf, d3 = _compact_band(payload, go_up, mcap)
+            down_buf, d4 = _compact_band(payload, go_down, mcap)
+            inc_lo = _ppermute_tree(up_buf, perm_up)      # from below
+            inc_hi = _ppermute_tree(down_buf, perm_down)  # from above
+            valid = valid & ~(go_up | go_down)
+            state.pos = jnp.where(valid[:, None], state.pos, SENTINEL)
+            state.vel = jnp.where(valid[:, None], state.vel, 0.0)
+
+            # Merge incoming into free slots (argsort(valid): free first).
+            inc = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b]), inc_lo, inc_hi
+            )
+            flag = inc["flag"]
+            free_order = jnp.argsort(valid)  # False < True
+            num_free = cap - jnp.sum(valid, dtype=jnp.int32)
+            rank = jnp.cumsum(flag.astype(jnp.int32)) - 1
+            place = flag & (rank < num_free)
+            target = jnp.where(place, free_order[jnp.clip(rank, 0, cap - 1)],
+                               cap)  # cap = dropped
+            state.pos = state.pos.at[target].set(inc["pos"], mode="drop")
+            state.vel = state.vel.at[target].set(inc["vel"], mode="drop")
+            state.paths = state.paths.at[target].set(inc["paths"],
+                                                     mode="drop")
+            state.has_collided = state.has_collided.at[target].set(
+                inc["hc"], mode="drop"
+            )
+            gid = gid.at[target].set(inc["gid"], mode="drop")
+            valid = valid.at[target].set(place, mode="drop")
+            # Lost particles: migration-buffer drops (d3, d4), receive-side
+            # buffer-full drops, and halo-band truncation (d1, d2 -- those
+            # only lose collision visibility, not the particle, but are
+            # surfaced the same way).
+            lost = jnp.sum(flag & ~place, dtype=jnp.int32) + d3 + d4
+            measure.overflow_count = (
+                measure.overflow_count + overflow + lost + d1 + d2
+            )
+            measure.err_count = measure.err_count + ledger.errs
+            measure.collision_count = (
+                measure.collision_count + ledger.wall_hits
+            )
+
+            metrics = StepMetrics(
+                momentum_z=jax.lax.psum(ledger.momentum_z, AXIS),
+                energy_hot=jax.lax.psum(ledger.energy_hot, AXIS),
+                energy_cold=jax.lax.psum(ledger.energy_cold, AXIS),
+                collisions=jax.lax.psum(
+                    pair_count + ledger.wall_hits, AXIS
+                ),
+                wall_hits=jax.lax.psum(ledger.wall_hits, AXIS),
+                oob_after_walls=jax.lax.psum(oob_walls, AXIS),
+                oob_after_pairs=jax.lax.psum(oob_pairs, AXIS),
+            )
+            return (state, valid, gid, measure, shard_key), metrics
+
+        def epoch(state, valid, gid, measure, base_key, step_indices):
+            me = jax.lax.axis_index(AXIS)
+            shard_key = jax.random.fold_in(base_key, me)
+            measure = jax.tree.map(lambda x: x[0], measure)  # unstack
+            carry = (state, valid, gid, measure, shard_key)
+            carry, metrics = jax.lax.scan(step, carry, step_indices)
+            state, valid, gid, measure, _ = carry
+            measure = jax.tree.map(lambda x: x[None], measure)  # restack
+            return state, valid, gid, measure, metrics
+
+        P = jax.sharding.PartitionSpec
+        self._epoch = jax.jit(
+            jax.shard_map(
+                epoch,
+                mesh=self.mesh,
+                in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P()),
+                out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
+            )
+        )
+
+    # ------------------------------------------------------------------
+    def init(self, seed: Optional[int] = None):
+        cfg = self.cfg
+        plan = self.plan
+        seed = cfg.seed if seed is None else seed
+        key = jax.random.PRNGKey(seed)
+        init_key, run_key = jax.random.split(key)
+        global_state = self.workload.init_fn(init_key)
+        n = global_state.pos.shape[0]
+        cap = plan.shard_capacity
+
+        pos = np.asarray(global_state.pos)
+        vel = np.asarray(global_state.vel)
+        shard_of = np.clip(
+            np.searchsorted(plan.slab_z, pos[:, 2], side="right") - 1,
+            0, plan.n_shards - 1,
+        )
+        s_pos = np.full((plan.n_shards, cap, 3), SENTINEL, pos.dtype)
+        s_vel = np.zeros((plan.n_shards, cap, 3), vel.dtype)
+        s_valid = np.zeros((plan.n_shards, cap), bool)
+        s_gid = np.zeros((plan.n_shards, cap), np.int32)
+        for s in range(plan.n_shards):
+            idx = np.nonzero(shard_of == s)[0]
+            if len(idx) > cap:
+                raise ValueError(
+                    f"shard {s} holds {len(idx)} > capacity {cap}; "
+                    "increase the capacity factor"
+                )
+            m = len(idx)
+            s_pos[s, :m] = pos[idx]
+            s_vel[s, :m] = vel[idx]
+            s_valid[s, :m] = True
+            s_gid[s, :m] = idx
+
+        state = ParticleState(
+            pos=jnp.asarray(s_pos.reshape(-1, 3)),
+            vel=jnp.asarray(s_vel.reshape(-1, 3)),
+            paths=jnp.zeros((plan.n_shards * cap, 4), self.dtype),
+            has_collided=jnp.zeros((plan.n_shards * cap,), jnp.bool_),
+        )
+        valid = jnp.asarray(s_valid.reshape(-1))
+        gid = jnp.asarray(s_gid.reshape(-1))
+        measure = jax.tree.map(
+            lambda x: jnp.tile(x[None], (plan.n_shards,) + (1,) * x.ndim),
+            Measurements.zeros(
+                cfg.engine.num_bins, self.dtype,
+                num_particles=cap + 2 * plan.halo_capacity,
+            ),
+        )
+        return (state, valid, gid), measure, run_key
+
+    def run(self, num_steps=None, seed=None, state=None, measure=None,
+            run_key=None, start_step: int = 0, epoch_callback=None):
+        if num_steps is None:
+            num_steps = self.cfg.num_timesteps
+        if state is None:
+            state, measure, run_key = self.init(seed)
+        st, valid, gid = state
+        spe = self.cfg.engine.steps_per_epoch
+        all_metrics = []
+        step = start_step
+        end = start_step + num_steps
+        while step < end:
+            n = min(spe, end - step)
+            indices = jnp.arange(step, step + n, dtype=jnp.int32)
+            st, valid, gid, measure, metrics = self._epoch(
+                st, valid, gid, measure, run_key, indices
+            )
+            all_metrics.append(metrics)
+            if epoch_callback is not None:
+                epoch_callback(metrics)
+            step += n
+        stacked = jax.tree.map(
+            lambda *xs: jnp.concatenate([jnp.atleast_1d(x) for x in xs]),
+            *all_metrics,
+        ) if all_metrics else None
+        return (st, valid, gid), measure, stacked
+
+    @staticmethod
+    def finalize_measure(measure) -> Measurements:
+        """Sum the per-shard accumulators into global totals."""
+        return jax.tree.map(lambda x: jnp.sum(x, axis=0), measure)

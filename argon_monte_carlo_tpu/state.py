@@ -83,9 +83,19 @@ class Measurements:
     collision_count: jax.Array
     err_count: jax.Array
     overflow_count: jax.Array
+    # Step-transient staging area for completed-path binning: each event
+    # writes its (4,) path values here and ONE scatter per step flushes
+    # them into `hist` (10 per-case scatters were ~30% of the step time
+    # on TPU).  A particle with two collision events in the same step
+    # contributes only its last event to the *binned* histogram (the
+    # exact sums/counts above still see both); at reference densities
+    # that's ~1e-6 of samples.
+    pending_vals: jax.Array   # (N, 4)
+    pending_mask: jax.Array   # (N,) bool
 
     @staticmethod
-    def zeros(num_bins: int, dtype: Any = jnp.float32) -> "Measurements":
+    def zeros(num_bins: int, dtype: Any = jnp.float32,
+              num_particles: int = 0) -> "Measurements":
         return Measurements(
             hist=jnp.zeros((NUM_PATH_AXES, num_bins + 1), jnp.float32),
             path_sum=jnp.zeros((NUM_PATH_AXES,), dtype),
@@ -93,6 +103,8 @@ class Measurements:
             collision_count=jnp.zeros((), jnp.int32),
             err_count=jnp.zeros((), jnp.int32),
             overflow_count=jnp.zeros((), jnp.int32),
+            pending_vals=jnp.zeros((num_particles, NUM_PATH_AXES), dtype),
+            pending_mask=jnp.zeros((num_particles,), jnp.bool_),
         )
 
 

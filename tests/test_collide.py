@@ -24,9 +24,10 @@ def make_state(pos, vel, dtype=jnp.float64):
 
 def resolve(st, partner):
     measure = Measurements.zeros(200, jnp.float64)
-    return collide.resolve_collisions(
+    st, measure, ncol, _ = collide.resolve_collisions(
         st, measure, jnp.asarray(partner, jnp.int32), CR, MASS, 200, 1e-6
     )
+    return st, measure, ncol
 
 
 def test_head_on_collision_swaps_velocities():
@@ -118,11 +119,16 @@ def test_cell_search_matches_allpairs():
     pos = _random_gas(key, n, geom)
     # Large search radius so matches are plentiful at this density.
     radius = 5e-9
-    grid = collide.grid_for_pore(geom, cell_size=6e-9, capacity=64)
+    grid = collide.grid_for_pore(geom, cell_size=12e-9, capacity=32)
     dgrid = collide.DeviceGrid.from_grid(grid, jnp.float64)
-    p_cells, overflow = collide.cell_partner_search(pos, dgrid, radius)
-    p_exact, _ = collide.allpairs_partner_search(pos, radius, tile=512)
+    p_cells, overflow = jax.jit(
+        lambda p: collide.cell_partner_search(p, dgrid, radius)
+    )(pos)
+    p_exact, _ = jax.jit(
+        lambda p: collide.allpairs_partner_search(p, radius, tile=512)
+    )(pos)
     assert int(overflow) == 0
+    assert int(jnp.sum(p_cells >= 0)) > 50  # plenty of matches found
     np.testing.assert_array_equal(np.asarray(p_cells), np.asarray(p_exact))
 
 
@@ -131,9 +137,11 @@ def test_cell_search_overflow_counted():
     # 100 particles crammed into one spot with capacity 8.
     pos = jnp.tile(jnp.asarray([[1e-9, 1e-9, 50e-9]], jnp.float64),
                    (100, 1))
-    grid = collide.grid_for_pore(geom, cell_size=6e-9, capacity=8)
+    grid = collide.grid_for_pore(geom, cell_size=12e-9, capacity=8)
     dgrid = collide.DeviceGrid.from_grid(grid, jnp.float64)
-    _, overflow = collide.cell_partner_search(pos, dgrid, 1e-9)
+    _, overflow = jax.jit(
+        lambda p: collide.cell_partner_search(p, dgrid, 1e-9)
+    )(pos)
     assert int(overflow) == 100 - 8
 
 

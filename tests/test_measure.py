@@ -14,7 +14,7 @@ def test_partial_path_discarded_then_full_emitted():
     st = ParticleState.zeros(1, jnp.float64)
     st.vel = jnp.asarray([[3.0, 0.0, 4.0]], jnp.float64)  # speed 5
     st.paths = jnp.asarray([[10.0, 6.0, 0.0, 8.0]], jnp.float64)
-    measure = Measurements.zeros(200, jnp.float64)
+    measure = Measurements.zeros(200, jnp.float64, num_particles=1)
     mask = jnp.asarray([True])
     t = jnp.asarray([0.0])
 
@@ -41,7 +41,7 @@ def test_partial_path_discarded_then_full_emitted():
 
 
 def test_histogram_binning():
-    measure = Measurements.zeros(200, jnp.float64)
+    measure = Measurements.zeros(200, jnp.float64, num_particles=3)
     paths = jnp.asarray(
         [[0.5e-9, 0.5e-9, 0.5e-9, 0.5e-9],     # bin 0
          [7.5e-9, 7.5e-9, 7.5e-9, 7.5e-9],     # bin 1 (width 5e-9)
@@ -55,6 +55,7 @@ def test_histogram_binning():
     measure = measure_ops.record_completed(
         measure, paths, has, vel, t, mask, 200, 1e-6
     )
+    measure = measure_ops.flush_pending(measure, 200, 1e-6)
     hist = np.asarray(measure.hist)
     assert hist[0, 0] == 1  # total axis bin 0
     assert hist[0, 1] == 1

@@ -55,13 +55,23 @@ def build_parser() -> argparse.ArgumentParser:
                        help="number of devices for the sharded engine "
                             "(1 = single chip)")
         w.add_argument("--quiet", action="store_true")
+        w.add_argument("--plot", action="store_true",
+                       help="save the 4-panel histogram figure "
+                            "(histograms.png in --out)")
+        w.add_argument("--debug-audits", action="store_true",
+                       help="re-check wall-case predicates each step "
+                            "(reference missed-case audit)")
+        w.add_argument("--check-finite", action="store_true",
+                       help="count non-finite state values each step")
     return p
 
 
 def make_config(args):
     from .config import CubeConfig, EngineConfig, PoreConfig
 
-    eng_kwargs = dict(dtype=args.dtype, steps_per_epoch=args.steps_per_epoch)
+    eng_kwargs = dict(dtype=args.dtype, steps_per_epoch=args.steps_per_epoch,
+                      debug_audits=args.debug_audits,
+                      check_finite=args.check_finite)
     if args.workload == "cube":
         eng_kwargs.setdefault("broadphase", args.broadphase or "allpairs")
         cfg = CubeConfig(
@@ -166,15 +176,35 @@ def main(argv=None) -> int:
             np.concatenate(all_ehot),
             os.path.join(args.out, "momentum_energy.csv"),
         )
+    if args.plot:
+        from . import plotting
+        from .io.writers import histogram_densities
+
+        edges, dens = histogram_densities(
+            measure, cfg.engine.num_bins, cfg.engine.hist_range
+        )
+        fig = plotting.histogram_figure(
+            edges, dens, fit=(args.workload == "cube"),
+            title=args.workload,
+        )
+        fig.savefig(os.path.join(args.out, "histograms.png"), dpi=110,
+                    bbox_inches="tight")
     if not args.quiet:
-        count = max(int(measure.path_count), 1)
-        mfp = np.asarray(measure.path_sum) / count
-        print(f"Simulation mean free path: {mfp[0]:.6e}")
-        print(f"Simulation mean x free path: {mfp[1]:.6e}")
-        print(f"Simulation mean y free path: {mfp[2]:.6e}")
-        print(f"Simulation mean z free path: {mfp[3]:.6e}")
+        from .analysis import path_statistics
+
+        stats = path_statistics(
+            measure, cfg.engine.num_bins, cfg.engine.hist_range
+        )
+        print(f"Simulation mean free path: {stats.mean_free_path:.6e}")
+        print(f"Simulation mean x free path: {stats.mean_x_free_path:.6e}")
+        print(f"Simulation mean y free path: {stats.mean_y_free_path:.6e}")
+        print(f"Simulation mean z free path: {stats.mean_z_free_path:.6e}")
         print(f"Num of measured full paths total: "
-              f"{int(measure.path_count)}")
+              f"{stats.num_completed_paths}")
+        if stats.num_completed_paths:
+            print(f"exp fit: a={stats.exp_fit_a:.6e} "
+                  f"b={stats.exp_fit_b:.6e} (-1/b = "
+                  f"{stats.fitted_mfp:.6e} m)")
         print(f"total collisions: {int(measure.collision_count)}  "
               f"errs: {int(measure.err_count)}  "
               f"overflow: {int(measure.overflow_count)}")

@@ -48,6 +48,19 @@ class EngineConfig:
     hist_range: tuple[float, float] = (0.0, 1e-6)
     # Rebuild the sorted cell structure every N steps (1 = every step).
     rebuild_interval: int = 1
+    # Re-evaluate every wall-case predicate after the wall phase and
+    # report residual counts per step (the reference's "missed case"
+    # audit, Open_Air_Pore_MC.py:488-511).  Costs one extra pass.
+    debug_audits: bool = False
+    # Count non-finite state elements per step (NaN/inf sanitizer; the
+    # reference uses np.seterr(all='raise'), Open_Air_Pore_MC.py:11).
+    check_finite: bool = False
+    # Flush staged histogram events every N steps.  1 is exact per the
+    # one-pending-slot-per-particle semantics; larger values trade a tiny
+    # sample loss (a particle colliding twice within the window only bins
+    # its last event; the exact sums/means are unaffected) for one fewer
+    # scatter per step.  Benchmarks use 8.
+    hist_flush_interval: int = 1
     # Extra neighbour-search radius (metres) beyond collision_range when
     # rebuild_interval > 1, so pairs entering range between rebuilds are
     # still candidates (Verlet-list skin).

@@ -50,6 +50,9 @@ class Workload:
     post_wall: Callable
     post_pairs: Callable
     fluid_volume: float
+    # Optional: re-evaluate wall-case predicates post-handling, returning
+    # (10,) residual counts (reference missed-case audit).
+    audit_fn: Optional[Callable] = None
 
 
 def _null_fix(state):
@@ -108,6 +111,10 @@ def make_step_fn(workload: Workload):
         state, measure, ledger = workload.wall_pass(
             state, prior, measure, key
         )
+        if eng.debug_audits and workload.audit_fn is not None:
+            missed = workload.audit_fn(state, prior)
+        else:
+            missed = jnp.zeros((10,), jnp.int32)
         state, oob_walls = workload.post_wall(state)
 
         # PARTICLE-PARTICLE COLLISIONS
@@ -118,12 +125,31 @@ def make_step_fn(workload: Workload):
         )
         state, oob_pairs = workload.post_pairs(state)
 
-        measure = measure_ops.flush_pending(
-            measure, eng.num_bins, eng.hist_range[1]
-        )
+        if eng.hist_flush_interval <= 1:
+            measure = measure_ops.flush_pending(
+                measure, eng.num_bins, eng.hist_range[1]
+            )
+        else:
+            measure = jax.lax.cond(
+                step_index % eng.hist_flush_interval == 0,
+                lambda m: measure_ops.flush_pending(
+                    m, eng.num_bins, eng.hist_range[1]
+                ),
+                lambda m: m,
+                measure,
+            )
         measure.overflow_count = measure.overflow_count + overflow
         measure.err_count = measure.err_count + ledger.errs
         measure.collision_count = measure.collision_count + ledger.wall_hits
+
+        if eng.check_finite:
+            nonfinite = (
+                jnp.sum(~jnp.isfinite(state.pos), dtype=jnp.int32)
+                + jnp.sum(~jnp.isfinite(state.vel), dtype=jnp.int32)
+                + jnp.sum(~jnp.isfinite(state.paths), dtype=jnp.int32)
+            )
+        else:
+            nonfinite = jnp.zeros((), jnp.int32)
 
         metrics = StepMetrics(
             momentum_z=ledger.momentum_z,
@@ -133,6 +159,8 @@ def make_step_fn(workload: Workload):
             wall_hits=ledger.wall_hits,
             oob_after_walls=oob_walls,
             oob_after_pairs=oob_pairs,
+            missed_cases=missed,
+            nonfinite=nonfinite,
         )
         return (state, measure, base_key), metrics
 

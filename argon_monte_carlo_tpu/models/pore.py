@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from ..config import PoreConfig
 from ..engine import WallLedger, Workload
 from ..init import init_pore
-from ..models.base import apply_tracked
+from ..models.base import apply_tracked, pore_missed_case_audit
 from ..ops import oob as oob_ops
 from ..ops import walls as wall_ops
 
@@ -153,4 +153,7 @@ def make_pore_workload(cfg: PoreConfig) -> Workload:
         post_wall=fix,
         post_pairs=fix,
         fluid_volume=geom.volume,
+        audit_fn=lambda state, prior: pore_missed_case_audit(
+            state, prior, geom, physics, energized=False
+        ),
     )

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from ..config import PoreConfig
 from ..engine import WallLedger, Workload
 from ..init import init_pore
-from ..models.base import apply_tracked
+from .. import rng
+from ..models.base import apply_tracked, pore_missed_case_audit
 from ..ops import oob as oob_ops
 from ..ops import walls as wall_ops
 
@@ -62,6 +63,9 @@ def make_temperature_pore_workload(cfg: PoreConfig) -> Workload:
         uniforms = jax.random.uniform(
             key, (state.pos.shape[0], 2), dtype
         )
+        # One shared trig evaluation feeds every energized case's cone
+        # draw this step (rng.cone_trig docstring).
+        trig = rng.cone_trig(uniforms, cos_cone)
         gap_interp = wall_ops.gap_energy_interp(
             gap_table.z_lo, gap_table.z_hi,
             jnp.asarray(gap_table.energies, dtype),
@@ -113,8 +117,7 @@ def make_temperature_pore_workload(cfg: PoreConfig) -> Workload:
         state, measure, ch, dpz, de, er = energized(
             state, measure, mask,
             lambda s, m: wall_ops.energized_plane(
-                s, m, plane_cold, 1.0, e_cold, alpha_coat, mass,
-                cos_cone, uniforms,
+                s, m, plane_cold, 1.0, e_cold, alpha_coat, mass, trig,
             ),
         )
         hits, momentum_z, energy_cold = hits + ch, momentum_z + dpz, energy_cold + de
@@ -127,8 +130,7 @@ def make_temperature_pore_workload(cfg: PoreConfig) -> Workload:
         state, measure, ch, dpz, de, er = energized(
             state, measure, mask,
             lambda s, m: wall_ops.energized_plane(
-                s, m, plane_hot, -1.0, e_hot, alpha_coat, mass,
-                cos_cone, uniforms,
+                s, m, plane_hot, -1.0, e_hot, alpha_coat, mass, trig,
             ),
         )
         hits, momentum_z, energy_hot = hits + ch, momentum_z + dpz, energy_hot + de
@@ -144,8 +146,7 @@ def make_temperature_pore_workload(cfg: PoreConfig) -> Workload:
         state, measure, ch, dpz, de, er = energized(
             state, measure, mask,
             lambda s, m: wall_ops.energized_cylinder(
-                s, m, cr_gap, gap_interp, alpha_gap, mass, cos_cone,
-                uniforms,
+                s, m, cr_gap, gap_interp, alpha_gap, mass, trig,
             ),
         )
         hits, momentum_z = hits + ch, momentum_z + dpz
@@ -161,8 +162,7 @@ def make_temperature_pore_workload(cfg: PoreConfig) -> Workload:
         state, measure, ch, dpz, de, er = energized(
             state, measure, mask,
             lambda s, m: wall_ops.energized_plane(
-                s, m, gap_lo + ar, 1.0, e_hot, alpha_coat, mass,
-                cos_cone, uniforms,
+                s, m, gap_lo + ar, 1.0, e_hot, alpha_coat, mass, trig,
             ),
         )
         hits, momentum_z, energy_hot = hits + ch, momentum_z + dpz, energy_hot + de
@@ -175,8 +175,7 @@ def make_temperature_pore_workload(cfg: PoreConfig) -> Workload:
         state, measure, ch, dpz, de, er = energized(
             state, measure, mask,
             lambda s, m: wall_ops.energized_plane(
-                s, m, gap_hi - ar, -1.0, e_cold, alpha_coat, mass,
-                cos_cone, uniforms,
+                s, m, gap_hi - ar, -1.0, e_cold, alpha_coat, mass, trig,
             ),
         )
         hits, momentum_z, energy_cold = hits + ch, momentum_z + dpz, energy_cold + de
@@ -189,8 +188,7 @@ def make_temperature_pore_workload(cfg: PoreConfig) -> Workload:
         state, measure, ch, dpz, de, er = energized(
             state, measure, mask,
             lambda s, m: wall_ops.energized_cylinder(
-                s, m, cr_pore, e_hot, alpha_coat, mass, cos_cone,
-                uniforms,
+                s, m, cr_pore, e_hot, alpha_coat, mass, trig,
             ),
         )
         hits, momentum_z, energy_hot = hits + ch, momentum_z + dpz, energy_hot + de
@@ -201,8 +199,7 @@ def make_temperature_pore_workload(cfg: PoreConfig) -> Workload:
         state, measure, ch, dpz, de, er = energized(
             state, measure, mask,
             lambda s, m: wall_ops.energized_cylinder(
-                s, m, cr_pore, e_cold, alpha_coat, mass, cos_cone,
-                uniforms,
+                s, m, cr_pore, e_cold, alpha_coat, mass, trig,
             ),
         )
         hits, momentum_z, energy_cold = hits + ch, momentum_z + dpz, energy_cold + de
@@ -224,4 +221,7 @@ def make_temperature_pore_workload(cfg: PoreConfig) -> Workload:
         post_wall=fix,
         post_pairs=fix,
         fluid_volume=geom.volume,
+        audit_fn=lambda state, prior: pore_missed_case_audit(
+            state, prior, geom, physics, energized=True
+        ),
     )

@@ -268,7 +268,16 @@ def build_cell_table(cell_id: jnp.ndarray, grid: DeviceGrid):
     pslot = jnp.zeros((n,), jnp.int32).at[order].set(
         slot.astype(jnp.int32)
     )
-    return table, overflow, pslot
+    # Sorted-order variant of the table: slot -> sorted position.  Plane
+    # builds gather from cell-sorted coordinate arrays through this, so
+    # the 11x-N slot gather reads near-contiguous rows (sequential within
+    # every cell) instead of random ones.
+    sorted_table = jnp.full(((grid.num_cells + 1) * cap,), n, jnp.int32)
+    sorted_table = sorted_table.at[slot].set(
+        idx, mode="drop"
+    ).reshape(grid.num_cells + 1, cap)
+    sorted_table = sorted_table.at[grid.num_cells].set(n)
+    return table, overflow, pslot, order, sorted_table
 
 
 def cell_partner_search(
@@ -298,7 +307,9 @@ def cell_partner_search(
     cap = grid.capacity
     num_rows = grid.num_cells + 1
     cell_id = assign_cells(pos, grid, valid)
-    table, overflow, pslot = build_cell_table(cell_id, grid)
+    table, overflow, pslot, order, sorted_table = build_cell_table(
+        cell_id, grid
+    )
 
     # Gather particle data into dense per-slot component planes
     # (num_rows, cap).  All later neighbour access is then contiguous
@@ -312,7 +323,10 @@ def cell_partner_search(
     src = jnp.where(in_slot, flat_idx, 0)
 
     far = jnp.asarray(1e9, pos.dtype)
-    packed = pos[src]                                  # (slots, 3) rows
+    spos = pos[order]                                  # cell-sorted coords
+    sorted_flat = sorted_table.reshape(-1)
+    sorted_src = jnp.where(in_slot, sorted_flat, 0)
+    packed = spos[sorted_src]                          # near-contiguous rows
     packed = jnp.where(in_slot[:, None], packed, far)
 
     def plane(col):
@@ -334,54 +348,73 @@ def cell_partner_search(
     else:
         start, width = cell_window
 
-    def window(p):
-        return jax.lax.dynamic_slice_in_dim(p, start, width, axis=0)
-
-    ox, oy, oz = window(px), window(py), window(pz)
-    oid = window(pid)
-    oix = window(pix)
-    nbr = jax.lax.dynamic_slice_in_dim(grid.neighbors, start, width, axis=0)
-
     r2 = jnp.asarray(search_radius * search_radius, pos.dtype)
     big = jnp.asarray(jnp.finfo(pos.dtype).max, pos.dtype)
-    best_d2 = ox * 0.0 + big
-    best_ix = oix * 0 + jnp.int32(n)
-
-    # Offset-grouped sweep: offsets are processed in groups of 5 so the
-    # candidate (minor) axis is 5*cap wide -- near-full VPU lane
-    # utilization instead of the ~19% a bare `cap` axis gets after
-    # 128-lane padding.  Candidate selection uses a masked min over
-    # indices instead of argmin/take_along_axis (both lower to
-    # per-element gathers on TPU and were ~100x slower).
     int_big = jnp.int32(2**30)
     group = 5
-    for o0 in range(0, 27, group):
-        sel = nbr[:, o0:o0 + group]                    # (C, g)
-        g = sel.shape[1]
-        nx_ = px[sel].reshape(width, g * cap)
-        ny_ = py[sel].reshape(width, g * cap)
-        nz_ = pz[sel].reshape(width, g * cap)
-        nid = pid[sel].reshape(width, g * cap)
-        nix = pix[sel].reshape(width, g * cap)
-        dx = ox[:, :, None] - nx_[:, None, :]
-        dy = oy[:, :, None] - ny_[:, None, :]
-        dz = oz[:, :, None] - nz_[:, None, :]
-        d2 = dx * dx + dy * dy + dz * dz               # (C, cap, g*cap)
-        hit = (d2 < r2) & (nid[:, None, :] != oid[:, :, None])
-        d2m = jnp.where(hit, d2, big)
-        d_best = jnp.min(d2m, axis=-1)                 # (C, cap)
-        # Smallest candidate index achieving the min (exact f32 equality:
-        # the reduction returns one of the computed values verbatim).
-        cand = jnp.min(
-            jnp.where(d2m == d_best[:, :, None], nix[:, None, :], int_big),
-            axis=-1,
-        )
-        upd = d_best < best_d2
-        best_d2 = jnp.where(upd, d_best, best_d2)
-        best_ix = jnp.where(upd, cand, best_ix)
 
-    found = best_d2 < r2
-    partner_flat = jnp.where(found, best_ix, -1).reshape(-1)
+    # The sweep is chunked over cells so the (chunk, cap, group*cap)
+    # intermediates stay ~256MB regardless of grid size (an unchunked
+    # sweep at 1M particles allocated multi-GB buffers and crashed the
+    # TPU worker).
+    chunk = max(4096, (64 * 1024 * 1024) // (cap * group * cap))
+    n_chunks = -(-width // chunk)
+    chunk = -(-width // n_chunks)  # balance the chunks
+
+    def sweep_chunk(c0, c_len):
+        def window(p):
+            return jax.lax.dynamic_slice_in_dim(
+                p, start + c0, c_len, axis=0
+            )
+
+        ox, oy, oz = window(px), window(py), window(pz)
+        oid = window(pid)
+        nbr = jax.lax.dynamic_slice_in_dim(
+            grid.neighbors, start + c0, c_len, axis=0
+        )
+        best_d2 = ox * 0.0 + big
+        best_ix = oid * 0 + jnp.int32(n)
+
+        # Offset-grouped: the candidate (minor) axis is group*cap wide --
+        # near-full VPU lane utilization instead of the ~19% a bare `cap`
+        # axis gets after 128-lane padding.  Candidate selection is a
+        # masked min over indices instead of argmin/take_along_axis
+        # (which lower to per-element gathers on TPU, ~100x slower).
+        for o0 in range(0, 27, group):
+            sel = nbr[:, o0:o0 + group]                # (c_len, g)
+            g = sel.shape[1]
+            nx_ = px[sel].reshape(c_len, g * cap)
+            ny_ = py[sel].reshape(c_len, g * cap)
+            nz_ = pz[sel].reshape(c_len, g * cap)
+            nid = pid[sel].reshape(c_len, g * cap)
+            nix = pix[sel].reshape(c_len, g * cap)
+            dx = ox[:, :, None] - nx_[:, None, :]
+            dy = oy[:, :, None] - ny_[:, None, :]
+            dz = oz[:, :, None] - nz_[:, None, :]
+            d2 = dx * dx + dy * dy + dz * dz           # (c_len, cap, g*cap)
+            hit = (d2 < r2) & (nid[:, None, :] != oid[:, :, None])
+            d2m = jnp.where(hit, d2, big)
+            d_best = jnp.min(d2m, axis=-1)             # (c_len, cap)
+            # Smallest candidate index achieving the min (exact f32
+            # equality: the reduction returns a computed value verbatim).
+            cand = jnp.min(
+                jnp.where(
+                    d2m == d_best[:, :, None], nix[:, None, :], int_big
+                ),
+                axis=-1,
+            )
+            upd = d_best < best_d2
+            best_d2 = jnp.where(upd, d_best, best_d2)
+            best_ix = jnp.where(upd, cand, best_ix)
+        return jnp.where(best_d2 < r2, best_ix, -1)
+
+    parts = []
+    done = 0
+    for _ in range(n_chunks):
+        c_len = min(chunk, width - done)
+        parts.append(sweep_chunk(done, c_len))
+        done += c_len
+    partner_flat = jnp.concatenate(parts).reshape(-1)
     # Read back to particle order through the particle->slot map (an
     # N-sized gather; the former slot->particle scatter moved C*cap
     # elements and cost ~5% of the whole step).

@@ -140,13 +140,13 @@ def energized_plane(
     surface_energy: float,
     alpha: float,
     mass: float,
-    cos_cone: float,
-    uniforms: jnp.ndarray,
+    cone_trig: tuple,
 ) -> WallEvent:
     """Thermal wall on a z-plane (Temperature_Pore_MC.py:349-412).
 
     Particle is placed AT the impact point (no replay), re-emitted in a
     cone about (0, 0, inbound_sign) with the accommodated speed.
+    ``cone_trig`` is the per-step shared draw (rng.cone_trig).
     """
     vel_before = state.vel
     z = state.pos[:, 2]
@@ -155,8 +155,7 @@ def energized_plane(
     col_x = state.pos[:, 0] - state.vel[:, 0] * t
     col_y = state.pos[:, 1] - state.vel[:, 1] * t
 
-    axis = jnp.zeros_like(state.vel).at[:, 2].set(inbound_sign)
-    direction = rng.cone_directions(uniforms, axis, cos_cone)
+    direction = rng.cone_from_trig_z(cone_trig, inbound_sign)
     new_speed, d_energy = _thermal_exchange(
         state.vel, surface_energy, alpha, mass
     )
@@ -183,8 +182,7 @@ def energized_cylinder(
     surface_energy: Callable[[jnp.ndarray], jnp.ndarray] | float,
     alpha: float,
     mass: float,
-    cos_cone: float,
-    uniforms: jnp.ndarray,
+    cone_trig: tuple,
 ) -> WallEvent:
     """Thermal cylinder side wall (Temperature_Pore_MC.py:414-553).
 
@@ -204,7 +202,7 @@ def energized_cylinder(
         [-col[:, 0] / radius, -col[:, 1] / radius, jnp.zeros_like(t)],
         axis=-1,
     )
-    direction = rng.cone_directions(uniforms, inward, cos_cone)
+    direction = rng.cone_from_trig(cone_trig, inward)
 
     if callable(surface_energy):
         e_surf = surface_energy(col[:, 2])

@@ -399,6 +399,10 @@ class ShardedSimulation:
                 wall_hits=jax.lax.psum(ledger.wall_hits, AXIS),
                 oob_after_walls=jax.lax.psum(oob_walls, AXIS),
                 oob_after_pairs=jax.lax.psum(oob_pairs, AXIS),
+                missed_cases=jax.lax.psum(
+                    jnp.zeros((10,), jnp.int32), AXIS
+                ),
+                nonfinite=jax.lax.psum(jnp.zeros((), jnp.int32), AXIS),
             )
             return (state, valid, gid, measure, shard_key), metrics
 

@@ -69,6 +69,36 @@ def orthonormal_frame(n: jax.Array) -> tuple[jax.Array, jax.Array]:
     return e1, e2
 
 
+def cone_trig(uniforms: jax.Array, cos_half_angle: float):
+    """Shared per-draw trigonometry for the spherical-cap sampler.
+
+    Returns (cos_t, sin_t*cos(phi), sin_t*sin(phi)) so several wall cases
+    in the same step can reuse one uniform block and one trig evaluation
+    (each particle is handled by at most one case per step, so lanes are
+    independent draws).
+    """
+    u1 = uniforms[..., 0]
+    u2 = uniforms[..., 1]
+    cos_t = cos_half_angle + u1 * (1.0 - cos_half_angle)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    phi = (2.0 * math.pi) * u2
+    return cos_t, sin_t * jnp.cos(phi), sin_t * jnp.sin(phi)
+
+
+def cone_from_trig(trig, axis: jax.Array) -> jax.Array:
+    """Spherical-cap direction about arbitrary unit ``axis`` (..., 3)."""
+    cos_t, a, b = trig
+    e1, e2 = orthonormal_frame(axis)
+    return cos_t[..., None] * axis + a[..., None] * e1 + b[..., None] * e2
+
+
+def cone_from_trig_z(trig, sign: float) -> jax.Array:
+    """Spherical-cap direction about (0, 0, sign): frame-free fast path
+    for the z-plane thermal walls."""
+    cos_t, a, b = trig
+    return jnp.stack([a, b, sign * cos_t], axis=-1)
+
+
 def cone_directions(uniforms: jax.Array, axis: jax.Array,
                     cos_half_angle: float) -> jax.Array:
     """Unit vectors uniform on the spherical cap around ``axis``.
@@ -79,14 +109,4 @@ def cone_directions(uniforms: jax.Array, axis: jax.Array,
     ``random_inbounds_direction`` (Temperature_Pore_MC.py:131-141) without
     the data-dependent loop.
     """
-    u1 = uniforms[..., 0]
-    u2 = uniforms[..., 1]
-    cos_t = cos_half_angle + u1 * (1.0 - cos_half_angle)
-    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-    phi = (2.0 * math.pi) * u2
-    e1, e2 = orthonormal_frame(axis)
-    return (
-        cos_t[..., None] * axis
-        + (sin_t * jnp.cos(phi))[..., None] * e1
-        + (sin_t * jnp.sin(phi))[..., None] * e2
-    )
+    return cone_from_trig(cone_trig(uniforms, cos_half_angle), axis)

@@ -125,3 +125,11 @@ class StepMetrics:
     wall_hits: jax.Array
     oob_after_walls: jax.Array
     oob_after_pairs: jax.Array
+    # Debug/audit channels (zeros unless the EngineConfig flags enable
+    # them): residual wall-case predicate counts re-evaluated after the
+    # wall phase (reference "missed case" prints,
+    # Open_Air_Pore_MC.py:488-511) and non-finite state element counts
+    # (the reference's np.seterr(all='raise') analogue,
+    # Open_Air_Pore_MC.py:11).
+    missed_cases: jax.Array  # (10,) int32
+    nonfinite: jax.Array     # () int32

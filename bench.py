@@ -31,6 +31,7 @@ def main() -> int:
 
     eng = amc.EngineConfig(
         dtype="float32", broadphase="cells", steps_per_epoch=20,
+        hist_flush_interval=8,
     )
     cfg = amc.temperature_pore_config(engine=eng).scaled_to(BENCH_PARTICLES)
     n = cfg.num_molecules

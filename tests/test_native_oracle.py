@@ -1,0 +1,139 @@
+"""Differential tests: JAX device kernels vs the native C++ oracle.
+
+The oracle (native/oracle.cpp) is an independent scalar implementation of
+every physics kernel written directly from the equations; nothing here
+shares code with the vectorized device path, so a masking/fusion bug in
+either shows up as a mismatch.
+"""
+
+import shutil
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("g++") is None, reason="no C++ toolchain"
+)
+
+CR = 3.385137501286538e-10
+MASS = 6.63e-26
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    from argon_monte_carlo_tpu.native import load_oracle
+
+    return load_oracle()
+
+
+def test_pair_collision_matches(oracle):
+    from argon_monte_carlo_tpu.ops import collide
+    from argon_monte_carlo_tpu.state import Measurements, ParticleState
+
+    rng_np = np.random.default_rng(0)
+    n = 256
+    p1 = rng_np.uniform(0, 1e-7, (n, 3))
+    offset = rng_np.normal(size=(n, 3))
+    offset /= np.linalg.norm(offset, axis=1, keepdims=True)
+    p2 = p1 + offset * CR * rng_np.uniform(0.3, 0.99, (n, 1))
+    v1 = rng_np.normal(0, 300, (n, 3))
+    v2 = rng_np.normal(0, 300, (n, 3))
+
+    # Oracle
+    t_o, p1o, v1o, p2o, v2o = oracle.pair_collisions(p1, v1, p2, v2, CR)
+
+    # Device kernel via resolve_collisions on interleaved pairs.
+    st = ParticleState.zeros(2 * n, jnp.float64)
+    st.pos = jnp.asarray(np.concatenate([p1, p2]))
+    st.vel = jnp.asarray(np.concatenate([v1, v2]))
+    partner = jnp.concatenate([
+        jnp.arange(n, 2 * n, dtype=jnp.int32),
+        jnp.arange(0, n, dtype=jnp.int32),
+    ])
+    measure = Measurements.zeros(200, jnp.float64, num_particles=2 * n)
+    st, measure, ncol, ok = collide.resolve_collisions(
+        st, measure, partner, CR, MASS, 200, 1e-6
+    )
+    assert int(ncol) == n
+    np.testing.assert_allclose(np.asarray(st.pos[:n]), p1o, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(st.vel[:n]), v1o, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(st.pos[n:]), p2o, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(st.vel[n:]), v2o, rtol=1e-12)
+
+
+def test_specular_plane_matches(oracle):
+    from argon_monte_carlo_tpu.ops import walls as wall_ops
+    from argon_monte_carlo_tpu.state import ParticleState
+
+    rng_np = np.random.default_rng(1)
+    for _ in range(20):
+        pos = rng_np.uniform(0, 1e-7, 3)
+        vel = rng_np.normal(0, 300, 3)
+        plane = pos[2] - np.sign(vel[2]) * 1e-9  # ensure crossed
+        t_o, pos_o, vel_o = oracle.specular_plane(pos, vel, 2, plane)
+        st = ParticleState.zeros(1, jnp.float64)
+        st.pos = jnp.asarray(pos)[None]
+        st.vel = jnp.asarray(vel)[None]
+        ev = wall_ops.specular_plane(st, jnp.array([True]), 2, plane)
+        np.testing.assert_allclose(np.asarray(ev.state.pos[0]), pos_o,
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(ev.state.vel[0]), vel_o,
+                                   rtol=1e-12)
+
+
+def test_specular_cylinder_matches(oracle):
+    from argon_monte_carlo_tpu.ops import walls as wall_ops
+    from argon_monte_carlo_tpu.state import ParticleState
+
+    rng_np = np.random.default_rng(2)
+    R = 3e-8
+    hits = 0
+    for _ in range(40):
+        theta = rng_np.uniform(0, 2 * np.pi)
+        r = R * rng_np.uniform(1.001, 1.05)
+        pos = np.array([r * np.cos(theta), r * np.sin(theta),
+                        rng_np.uniform(0, 1e-7)])
+        vel = rng_np.normal(0, 300, 3)
+        # outward radial velocity so the backtrace is valid
+        if vel[0] * pos[0] + vel[1] * pos[1] < 0:
+            vel[:2] = -vel[:2]
+        t_o, pos_o, vel_o = oracle.specular_cylinder(pos, vel, R)
+        if t_o < 0:
+            continue
+        hits += 1
+        st = ParticleState.zeros(1, jnp.float64)
+        st.pos = jnp.asarray(pos)[None]
+        st.vel = jnp.asarray(vel)[None]
+        ev = wall_ops.specular_cylinder(st, jnp.array([True]), R)
+        assert not bool(ev.err_mask[0])
+        np.testing.assert_allclose(np.asarray(ev.state.pos[0]), pos_o,
+                                   rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(ev.state.vel[0]), vel_o,
+                                   rtol=1e-10)
+    assert hits > 20
+
+
+def test_debye_quantities_match(oracle):
+    from argon_monte_carlo_tpu.utils import debye
+
+    for upper in (0.3, 2.0, 1813.0 / 293.0):
+        got = float(debye.debye_integral(np.array(upper)))
+        want = oracle.debye_integral(upper)
+        assert got == pytest.approx(want, rel=1e-9)
+    kb = 1.38064852e-23
+    got = float(debye.surface_energy(313.0, 980.0, 10, kb))
+    want = oracle.surface_energy(313.0, 980.0, 10, kb)
+    assert got == pytest.approx(want, rel=1e-9)
+
+
+def test_thermal_exchange_matches(oracle):
+    from argon_monte_carlo_tpu.ops.walls import _thermal_exchange
+
+    vel = jnp.asarray([[120.0, -340.0, 200.0]], jnp.float64)
+    speed = float(jnp.linalg.norm(vel))
+    for e_surf, alpha in ((1.7e-21, 0.95), (3.2e-21, 0.8)):
+        new_speed, d_e = _thermal_exchange(vel, e_surf, alpha, MASS)
+        want = oracle.thermal_speed(speed, e_surf, alpha, MASS)
+        assert float(new_speed[0]) == pytest.approx(want, rel=1e-12)

@@ -87,9 +87,10 @@ def test_energized_plane_energy_exchange():
     st = make_state([[0.0, 0.0, -0.01e-9]], [[100.0, 50.0, vz]])
     uniforms = jnp.asarray([[0.5, 0.25]], jnp.float64)
     cos_cone = wall_ops.cos_cone_from_deg(85.0)
+    from argon_monte_carlo_tpu import rng
+    trig = rng.cone_trig(uniforms, cos_cone)
     ev = wall_ops.energized_plane(
-        st, jnp.array([True]), 0.0, 1.0, e_surf, alpha, mass, cos_cone,
-        uniforms,
+        st, jnp.array([True]), 0.0, 1.0, e_surf, alpha, mass, trig,
     )
     v0 = np.array([100.0, 50.0, vz])
     e0 = 0.5 * mass * (v0 @ v0)
@@ -113,8 +114,10 @@ def test_energized_cylinder_inward():
     st = make_state([[1.01e-8, 0.0, 5e-8]], [[300.0, 0.0, -100.0]])
     uniforms = jnp.asarray([[0.3, 0.8]], jnp.float64)
     cos_cone = wall_ops.cos_cone_from_deg(85.0)
+    from argon_monte_carlo_tpu import rng
+    trig = rng.cone_trig(uniforms, cos_cone)
     ev = wall_ops.energized_cylinder(
-        st, jnp.array([True]), 1e-8, 2e-21, 0.8, mass, cos_cone, uniforms,
+        st, jnp.array([True]), 1e-8, 2e-21, 0.8, mass, trig,
     )
     assert not bool(ev.err_mask[0])
     p = np.asarray(ev.state.pos[0])

@@ -48,17 +48,13 @@ def record_completed(
     """Record completed paths ``|path_k - |v_k| * t|`` for masked particles.
 
     Only particles whose partial path already ended (has_collided) emit
-    (Open_Air_Cube_MC.py:267-272).  Sums/counts update exactly here; the
-    histogram binning is staged into ``measure.pending_*`` and flushed by
-    ``flush_pending`` once per step (see state.Measurements).
+    (Open_Air_Cube_MC.py:267-272).  Events are staged into
+    ``measure.pending_*``; ``flush_pending`` folds them into the sums,
+    counts and histogram once per step (see state.Measurements for the
+    one-slot-per-particle semantics).
     """
     emit = mask & has_collided_before
     comps = jnp.abs(paths_before - path_components(vel_before) * t[:, None])
-
-    measure.path_sum = measure.path_sum + jnp.sum(
-        jnp.where(emit[:, None], comps, 0.0), axis=0
-    )
-    measure.path_count = measure.path_count + jnp.sum(emit, dtype=jnp.int32)
     m = comps.shape[0]
     pn = measure.pending_vals.shape[0]
     if pn == m:
@@ -81,7 +77,16 @@ def record_completed(
 
 def flush_pending(measure: Measurements, num_bins: int,
                   hist_hi: float) -> Measurements:
-    """One scatter-add flushing all staged events into the histogram."""
+    """Flush all staged events: running sums/counts + one histogram
+    scatter-add (the per-case variants cost ~40 N-sized reductions per
+    step)."""
+    emitted = measure.pending_mask[:, None]
+    measure.path_sum = measure.path_sum + jnp.sum(
+        jnp.where(emitted, measure.pending_vals, 0.0), axis=0
+    )
+    measure.path_count = measure.path_count + jnp.sum(
+        measure.pending_mask, dtype=jnp.int32
+    )
     bin_width = hist_hi / num_bins
     ids = jnp.clip(
         jnp.floor(measure.pending_vals / bin_width).astype(jnp.int32),

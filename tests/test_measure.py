@@ -22,6 +22,7 @@ def test_partial_path_discarded_then_full_emitted():
     measure = measure_ops.record_completed(
         measure, st.paths, st.has_collided, st.vel, t, mask, 200, 1e-6
     )
+    measure = measure_ops.flush_pending(measure, 200, 1e-6)
     assert int(measure.path_count) == 0
     st = measure_ops.end_paths(st, mask, t, st.vel, zero_residual=False)
     assert bool(st.has_collided[0])
@@ -33,6 +34,7 @@ def test_partial_path_discarded_then_full_emitted():
     measure = measure_ops.record_completed(
         measure, st.paths, st.has_collided, st.vel, t, mask, 200, 1e-6
     )
+    measure = measure_ops.flush_pending(measure, 200, 1e-6)
     assert int(measure.path_count) == 1
     # Emitted values: |path - |v_k| * t| = |10-5|, |6-3|, |0-0|, |8-4|.
     np.testing.assert_allclose(

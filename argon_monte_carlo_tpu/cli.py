@@ -109,18 +109,15 @@ def main(argv=None) -> int:
         from .parallel import shard as shard_mod
 
         sim = shard_mod.ShardedSimulation(make_workload(cfg), args.mesh)
-        if args.checkpoint_every:
-            print("note: checkpointing not yet supported with --mesh > 1; "
-                  "disabled", file=sys.stderr)
-            args.checkpoint_every = 0
     else:
         sim = Simulation(make_workload(cfg))
+    sharded = args.mesh > 1
     num_steps = args.steps if args.steps is not None else cfg.num_timesteps
 
     if args.resume:
-        state, measure, run_key, start_step = ckpt_io.load_checkpoint(
-            args.resume
-        )
+        loader = (ckpt_io.load_sharded_checkpoint if sharded
+                  else ckpt_io.load_checkpoint)
+        state, measure, run_key, start_step = loader(args.resume)
         if not args.quiet:
             print(f"resumed from {args.resume} at step {start_step}")
     else:
@@ -158,7 +155,9 @@ def main(argv=None) -> int:
                   f"{record['particle_steps_per_sec']:.3e} particle-steps/s")
         if next_ckpt is not None and step >= next_ckpt:
             path = os.path.join(args.out, f"checkpoint_{step:08d}.npz")
-            ckpt_io.save_checkpoint(path, state, measure, run_key, step)
+            saver = (ckpt_io.save_sharded_checkpoint if sharded
+                     else ckpt_io.save_checkpoint)
+            saver(path, state, measure, run_key, step)
             if not args.quiet:
                 print(f"  checkpoint -> {path}")
             next_ckpt = step + args.checkpoint_every

@@ -61,3 +61,51 @@ def load_checkpoint(path: str):
         run_key = jnp.asarray(z["run_key"])
         step = int(z["step"])
     return state, measure, run_key, step
+
+
+def save_sharded_checkpoint(path: str, state_tuple, measure, run_key,
+                            step: int) -> str:
+    """Checkpoint the z-slab engine: (state, valid, gid) + per-shard
+    accumulators.  Arrays are pulled to host in their flat sharded
+    layout; resume requires the same mesh shape."""
+    state, valid, gid = state_tuple
+    extra = {
+        "valid": np.asarray(valid),
+        "gid": np.asarray(gid),
+        "sharded": np.asarray(True),
+    }
+    measure_arrays = {
+        f"m_{k}": np.asarray(v) for k, v in vars(measure).items()
+    }
+    np.savez_compressed(
+        path,
+        pos=np.asarray(state.pos),
+        vel=np.asarray(state.vel),
+        paths=np.asarray(state.paths),
+        has_collided=np.asarray(state.has_collided),
+        run_key=np.asarray(run_key),
+        step=np.asarray(step),
+        **extra,
+        **measure_arrays,
+    )
+    return path
+
+
+def load_sharded_checkpoint(path: str):
+    """Returns ((state, valid, gid), measure, run_key, step)."""
+    with np.load(path) as z:
+        state = ParticleState(
+            pos=jnp.asarray(z["pos"]),
+            vel=jnp.asarray(z["vel"]),
+            paths=jnp.asarray(z["paths"]),
+            has_collided=jnp.asarray(z["has_collided"]),
+        )
+        valid = jnp.asarray(z["valid"])
+        gid = jnp.asarray(z["gid"])
+        measure = Measurements(
+            **{k[2:]: jnp.asarray(z[k]) for k in z.files
+               if k.startswith("m_")}
+        )
+        run_key = jnp.asarray(z["run_key"])
+        step = int(z["step"])
+    return (state, valid, gid), measure, run_key, step

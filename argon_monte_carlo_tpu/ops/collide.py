@@ -356,22 +356,32 @@ def cell_partner_search(
     # The sweep is chunked over cells so the (chunk, cap, group*cap)
     # intermediates stay ~256MB regardless of grid size (an unchunked
     # sweep at 1M particles allocated multi-GB buffers and crashed the
-    # TPU worker).
+    # TPU worker).  Chunks run under lax.scan -- unrolling them produced
+    # minutes-long XLA compiles at large N.
     chunk = max(4096, (64 * 1024 * 1024) // (cap * group * cap))
     n_chunks = -(-width // chunk)
     chunk = -(-width // n_chunks)  # balance the chunks
 
-    def sweep_chunk(c0, c_len):
-        def window(p):
-            return jax.lax.dynamic_slice_in_dim(
-                p, start + c0, c_len, axis=0
-            )
+    # Pad the planes/neighbour table so every scanned chunk is full-size
+    # (padding rows look like the dummy empty cell).
+    pad_rows = max(n_chunks * chunk - width, 0)
+    px_p = jnp.pad(px, ((0, pad_rows), (0, 0)), constant_values=1e9)
+    py_p = jnp.pad(py, ((0, pad_rows), (0, 0)), constant_values=1e9)
+    pz_p = jnp.pad(pz, ((0, pad_rows), (0, 0)), constant_values=1e9)
+    pid_p = jnp.pad(pid, ((0, pad_rows), (0, 0)), constant_values=-2)
+    nbr_p = jnp.pad(grid.neighbors, ((0, pad_rows), (0, 0)),
+                    constant_values=grid.num_cells)
 
-        ox, oy, oz = window(px), window(py), window(pz)
-        oid = window(pid)
-        nbr = jax.lax.dynamic_slice_in_dim(
-            grid.neighbors, start + c0, c_len, axis=0
-        )
+    def sweep_chunk(c0):
+        def window(p):
+            return jax.lax.dynamic_slice_in_dim(p, start + c0, chunk,
+                                                axis=0)
+
+        c_len = chunk
+        ox, oy, oz = window(px_p), window(py_p), window(pz_p)
+        oid = window(pid_p)
+        nbr = jax.lax.dynamic_slice_in_dim(nbr_p, start + c0, chunk,
+                                           axis=0)
         best_d2 = ox * 0.0 + big
         best_ix = oid * 0 + jnp.int32(n)
 
@@ -408,13 +418,15 @@ def cell_partner_search(
             best_ix = jnp.where(upd, cand, best_ix)
         return jnp.where(best_d2 < r2, best_ix, -1)
 
-    parts = []
-    done = 0
-    for _ in range(n_chunks):
-        c_len = min(chunk, width - done)
-        parts.append(sweep_chunk(done, c_len))
-        done += c_len
-    partner_flat = jnp.concatenate(parts).reshape(-1)
+    if n_chunks == 1:
+        partner_flat = sweep_chunk(0).reshape(-1)
+    else:
+        _, parts = jax.lax.scan(
+            lambda carry, c0: (carry, sweep_chunk(c0)),
+            None,
+            jnp.arange(n_chunks, dtype=jnp.int32) * chunk,
+        )
+        partner_flat = parts.reshape(-1)[: width * cap]
     # Read back to particle order through the particle->slot map (an
     # N-sized gather; the former slot->particle scatter moved C*cap
     # elements and cost ~5% of the whole step).

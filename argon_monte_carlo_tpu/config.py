@@ -46,7 +46,9 @@ class EngineConfig:
     # Open_Air_Cube_MC.py:81,344).
     num_bins: int = 200
     hist_range: tuple[float, float] = (0.0, 1e-6)
-    # Rebuild the sorted cell structure every N steps (1 = every step).
+    # Reserved for Verlet-list amortization (rebuild the sorted cell
+    # structure every N steps against a skin-padded search radius).  The
+    # current engine rebuilds every step; values > 1 are rejected.
     rebuild_interval: int = 1
     # Re-evaluate every wall-case predicate after the wall phase and
     # report residual counts per step (the reference's "missed case"

@@ -63,6 +63,11 @@ def make_step_fn(workload: Workload):
     """Build the scannable per-timestep function."""
     cfg = workload.cfg
     eng = cfg.engine
+    if eng.rebuild_interval != 1:
+        raise NotImplementedError(
+            "rebuild_interval > 1 (Verlet-list amortization) is reserved "
+            "for a future engine version"
+        )
     physics = cfg.physics
     dt = cfg.dt
     cr = physics.collision_range

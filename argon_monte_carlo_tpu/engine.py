@@ -55,10 +55,6 @@ class Workload:
     audit_fn: Optional[Callable] = None
 
 
-def _null_fix(state):
-    return state, jnp.zeros((), jnp.int32)
-
-
 def make_step_fn(workload: Workload):
     """Build the scannable per-timestep function."""
     cfg = workload.cfg

@@ -135,15 +135,10 @@ def build_grid(cell_size: float, z_lo: float, z_hi: float,
 
 
 def grid_for_cube(geom, cell_size: float, capacity: int) -> Grid:
+    """Uniform grid over the box; binning shifts coordinates so the grid
+    is centred on the cube centre (DeviceGrid.center_x/y)."""
     r = max(geom.lx, geom.ly) / 2.0
-
-    def radius_of_z(lo, hi):
-        # grid is centred at the origin; shift cube coords when binning?
-        # Simpler: cover the full [0, lx] range as radius around centre.
-        return r
-
-    g = build_grid(cell_size, 0.0, geom.lz, radius_of_z, capacity)
-    return dataclasses.replace(g)
+    return build_grid(cell_size, 0.0, geom.lz, lambda lo, hi: r, capacity)
 
 
 def grid_for_pore(geom, cell_size: float, capacity: int) -> Grid:

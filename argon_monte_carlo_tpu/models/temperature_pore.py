@@ -54,6 +54,10 @@ def make_temperature_pore_workload(cfg: PoreConfig) -> Workload:
     e_cold = cfg.surface_energy_cold
     e_hot = cfg.surface_energy_hot
     gap_table = cfg.gap_energy_table()
+    # Host-side Chebyshev fit of E_surf(z); pure arithmetic on device.
+    gap_interp = wall_ops.gap_energy_interp(
+        gap_table.z_lo, gap_table.z_hi, gap_table.energies
+    )
     # z_inset for recapture scales with the geometry (reference hard-codes
     # 50nm for the default size, Temperature_Pore_MC.py:599).
     z_inset = 0.5 * oah
@@ -66,10 +70,6 @@ def make_temperature_pore_workload(cfg: PoreConfig) -> Workload:
         # One shared trig evaluation feeds every energized case's cone
         # draw this step (rng.cone_trig docstring).
         trig = rng.cone_trig(uniforms, cos_cone)
-        gap_interp = wall_ops.gap_energy_interp(
-            gap_table.z_lo, gap_table.z_hi,
-            jnp.asarray(gap_table.energies, dtype),
-        )
 
         momentum_z = jnp.zeros((), dtype)
         energy_hot = jnp.zeros((), dtype)

@@ -263,20 +263,12 @@ def build_cell_table(cell_id: jnp.ndarray, grid: DeviceGrid):
     # Wipe the dummy row (collects overflow + invalid padding writes).
     table = table.at[grid.num_cells].set(n)
     # Inverse map particle -> slot (overflow/dummy-binned particles point
-    # at the dummy row and read back "no partner").
+    # at the dummy row and read back "no partner"); also used to scatter
+    # particle data into the slot planes.
     pslot = jnp.zeros((n,), jnp.int32).at[order].set(
         slot.astype(jnp.int32)
     )
-    # Sorted-order variant of the table: slot -> sorted position.  Plane
-    # builds gather from cell-sorted coordinate arrays through this, so
-    # the 11x-N slot gather reads near-contiguous rows (sequential within
-    # every cell) instead of random ones.
-    sorted_table = jnp.full(((grid.num_cells + 1) * cap,), n, jnp.int32)
-    sorted_table = sorted_table.at[slot].set(
-        idx, mode="drop"
-    ).reshape(grid.num_cells + 1, cap)
-    sorted_table = sorted_table.at[grid.num_cells].set(n)
-    return table, overflow, pslot, order, sorted_table
+    return table, overflow, pslot
 
 
 def cell_partner_search(
@@ -306,27 +298,18 @@ def cell_partner_search(
     cap = grid.capacity
     num_rows = grid.num_cells + 1
     cell_id = assign_cells(pos, grid, valid)
-    table, overflow, pslot, order, sorted_table = build_cell_table(
-        cell_id, grid
-    )
+    table, overflow, pslot = build_cell_table(cell_id, grid)
 
-    # Gather particle data into dense per-slot component planes
-    # (num_rows, cap).  All later neighbour access is then contiguous
-    # CELL-row gathers of the planes -- TPU-friendly streaming -- instead
-    # of per-particle row gathers inside the offset loop (which compiled
-    # to a gather chain ~100x slower and took minutes to build).
-    # One packed row gather builds all three coordinate planes; the
-    # index plane IS the table, so it needs no gather at all.
+    # Build dense per-slot component planes (num_rows, cap) with ONE
+    # packed row gather through the table (a slot-row scatter variant was
+    # measured ~2x slower).  All later neighbour access is contiguous
+    # CELL-row gathers of the planes; the index plane IS the table, so it
+    # needs no data movement at all.
     flat_idx = table.reshape(-1)                       # slot -> particle
     in_slot = flat_idx < n
     src = jnp.where(in_slot, flat_idx, 0)
-
     far = jnp.asarray(1e9, pos.dtype)
-    spos = pos[order]                                  # cell-sorted coords
-    sorted_flat = sorted_table.reshape(-1)
-    sorted_src = jnp.where(in_slot, sorted_flat, 0)
-    packed = spos[sorted_src]                          # near-contiguous rows
-    packed = jnp.where(in_slot[:, None], packed, far)
+    packed = jnp.where(in_slot[:, None], pos[src], far)
 
     def plane(col):
         return packed[:, col].reshape(num_rows, cap)
@@ -532,10 +515,27 @@ def resolve_collisions(
     idx = jnp.arange(n, dtype=jnp.int32)
     has_partner = partner >= 0
     safe_partner = jnp.where(has_partner, partner, 0)
-    mutual = has_partner & (partner[safe_partner] == idx)
 
-    pos_b = state.pos[safe_partner]
-    vel_b = state.vel[safe_partner]
+    # One packed row gather for everything needed from the partner:
+    # position, velocity, and the partner's own choice (for the mutual
+    # check).  TPU gathers pay per row, so one 8-wide gather beats three.
+    if state.pos.dtype == jnp.float32:
+        partner_f = jax.lax.bitcast_convert_type(partner, jnp.float32)
+    else:
+        partner_f = partner.astype(state.pos.dtype)
+    pv = jnp.concatenate(
+        [state.pos, state.vel, partner_f[:, None]], axis=1
+    )
+    pv_b = pv[safe_partner]
+    pos_b = pv_b[:, :3]
+    vel_b = pv_b[:, 3:6]
+    if state.pos.dtype == jnp.float32:
+        partner_of_partner = jax.lax.bitcast_convert_type(
+            pv_b[:, 6], jnp.int32
+        )
+    else:
+        partner_of_partner = pv_b[:, 6].astype(jnp.int32)
+    mutual = has_partner & (partner_of_partner == idx)
     dxv = pos_b - state.pos              # x2 - x1 from "my" perspective
     dvv = state.vel - vel_b              # v1 - v2
 

@@ -55,8 +55,43 @@ class Workload:
     audit_fn: Optional[Callable] = None
 
 
-def make_step_fn(workload: Workload):
-    """Build the scannable per-timestep function."""
+def build_device_grid(workload: Workload):
+    """Host-build the collision grid for a workload; returns a DeviceGrid
+    pytree or None for the all-pairs broad phase.
+
+    The grid tables (notably the (C, 27) neighbour map) are passed into
+    the jitted epoch as ARGUMENTS, not closure constants: at 10M
+    particles the table is ~330MB and baking it into the program blows
+    the compile payload.
+    """
+    cfg = workload.cfg
+    eng = cfg.engine
+    if eng.broadphase != "cells":
+        return None
+    physics = cfg.physics
+    cell_size = cell_size_for(
+        eng, physics, cfg.num_molecules, workload.fluid_volume
+    )
+    capacity = cell_capacity_for(
+        eng, physics, cfg.num_molecules, workload.fluid_volume
+    )
+    geom = cfg.geometry
+    if hasattr(geom, "total_height"):  # pore
+        host_grid = collide.grid_for_pore(geom, cell_size, capacity)
+        center = (0.0, 0.0)
+    else:  # cube
+        host_grid = collide.grid_for_cube(geom, cell_size, capacity)
+        center = (geom.lx / 2.0, geom.ly / 2.0)
+    return collide.DeviceGrid.from_grid(
+        host_grid, jnp.dtype(eng.dtype), center
+    )
+
+
+def make_step_fn(workload: Workload, device_grid=None):
+    """Build the scannable per-timestep function.
+
+    ``device_grid`` may hold traced arrays (the jitted caller passes the
+    grid as an argument); None builds it on the host (small-N tools)."""
     cfg = workload.cfg
     eng = cfg.engine
     if eng.rebuild_interval != 1:
@@ -70,22 +105,8 @@ def make_step_fn(workload: Workload):
     search_radius = cr + eng.skin
 
     if eng.broadphase == "cells":
-        cell_size = cell_size_for(
-            eng, physics, cfg.num_molecules, workload.fluid_volume
-        )
-        capacity = cell_capacity_for(
-            eng, physics, cfg.num_molecules, workload.fluid_volume
-        )
-        geom = cfg.geometry
-        if hasattr(geom, "total_height"):  # pore
-            host_grid = collide.grid_for_pore(geom, cell_size, capacity)
-            center = (0.0, 0.0)
-        else:  # cube
-            host_grid = collide.grid_for_cube(geom, cell_size, capacity)
-            center = (geom.lx / 2.0, geom.ly / 2.0)
-        device_grid = collide.DeviceGrid.from_grid(
-            host_grid, jnp.dtype(eng.dtype), center
-        )
+        if device_grid is None:
+            device_grid = build_device_grid(workload)
 
         def search(pos):
             return collide.cell_partner_search(pos, device_grid,
@@ -174,16 +195,21 @@ class Simulation:
     def __init__(self, workload: Workload):
         self.workload = workload
         self.cfg = workload.cfg
-        self._step = make_step_fn(workload)
-        eng = self.cfg.engine
+        self._dgrid = build_device_grid(workload)
 
-        def run_epoch(state, measure, base_key, step_indices):
+        def run_epoch(state, measure, base_key, step_indices, dgrid):
+            step = make_step_fn(workload, dgrid)
             (state, measure, _), metrics = jax.lax.scan(
-                self._step, (state, measure, base_key), step_indices
+                step, (state, measure, base_key), step_indices
             )
             return state, measure, metrics
 
-        self._run_epoch = jax.jit(run_epoch)
+        self._run_epoch_grid = jax.jit(run_epoch)
+
+    def _run_epoch(self, state, measure, base_key, step_indices):
+        return self._run_epoch_grid(
+            state, measure, base_key, step_indices, self._dgrid
+        )
 
     def init(self, seed: Optional[int] = None):
         seed = self.cfg.seed if seed is None else seed

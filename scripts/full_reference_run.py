@@ -1,0 +1,102 @@
+"""Run the COMPLETE reference north-star experiment end-to-end.
+
+Temperature_Pore at full reference scale: 557,649 molecules x 20,000
+timesteps (nmft=20 x 1000 steps/mft) -- the run the reference scripts
+perform on a multiprocessing CPU farm.  Writes every reference artifact
+(8 histogram txt files, momentum_energy.csv with all 20,000 rows,
+metrics.jsonl) and compares the final free-path histogram densities and
+mean free paths against the reference's committed artifact files.
+
+The committed hist_* files are "the most current values from the author
+for the latest simulation" (reference README.md:23); which stage wrote
+them is not recorded, so the comparison below is reported as evidence,
+not asserted as a hard gate.
+
+Usage (TPU host): python scripts/full_reference_run.py [--steps 20000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=20000)
+    ap.add_argument("--out", type=str, default="runs/full_temperature_pore")
+    ap.add_argument("--reference-dir", type=str, default="/root/reference")
+    args = ap.parse_args()
+
+    import jax
+
+    import argon_monte_carlo_tpu as amc
+    from argon_monte_carlo_tpu.analysis import path_statistics
+    from argon_monte_carlo_tpu.io import writers
+
+    cfg = amc.temperature_pore_config(
+        engine=amc.EngineConfig(dtype="float32", broadphase="cells",
+                                steps_per_epoch=200),
+    )
+    os.makedirs(args.out, exist_ok=True)
+    sim = amc.Simulation(amc.make_workload(cfg))
+    n = cfg.num_molecules
+    print(f"full run: N={n} steps={args.steps}", file=sys.stderr)
+    t0 = time.time()
+    state, measure, metrics = sim.run(num_steps=args.steps)
+    jax.block_until_ready(state.pos)
+    elapsed = time.time() - t0
+    print(f"completed in {elapsed/60:.1f} min "
+          f"({args.steps * n / elapsed:.3e} particle-steps/s)",
+          file=sys.stderr)
+
+    writers.write_histograms(measure, cfg.engine.num_bins,
+                             cfg.engine.hist_range, args.out)
+    writers.write_momentum_energy_csv(
+        np.asarray(metrics.momentum_z, np.float64),
+        np.asarray(metrics.energy_cold, np.float64),
+        np.asarray(metrics.energy_hot, np.float64),
+        os.path.join(args.out, "momentum_energy.csv"),
+    )
+    stats = path_statistics(measure, cfg.engine.num_bins,
+                            cfg.engine.hist_range)
+
+    # Compare final histogram densities to the committed reference files.
+    report = {
+        "elapsed_min": elapsed / 60.0,
+        "particle_steps_per_sec": args.steps * n / elapsed,
+        "mean_free_path": stats.mean_free_path,
+        "mean_xyz": [stats.mean_x_free_path, stats.mean_y_free_path,
+                     stats.mean_z_free_path],
+        "completed_paths": stats.num_completed_paths,
+        "collisions": int(measure.collision_count),
+        "errs": int(measure.err_count),
+        "overflow": int(measure.overflow_count),
+    }
+    from argon_monte_carlo_tpu.io.writers import read_reference_histogram
+
+    for name in writers.AXIS_NAMES:
+        ours = read_reference_histogram(
+            os.path.join(args.out, f"hist_y_axis_{name}_data.txt"))
+        ref = read_reference_histogram(
+            os.path.join(args.reference_dir,
+                         f"hist_y_axis_{name}_data.txt"))
+        m = (ours > 0) | (ref > 0)
+        if m.sum() > 2:
+            corr = float(np.corrcoef(ours[m], ref[m])[0, 1])
+        else:
+            corr = float("nan")
+        report[f"hist_{name}_corr_vs_reference"] = corr
+    print(json.dumps(report))
+    with open(os.path.join(args.out, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

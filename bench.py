@@ -56,7 +56,10 @@ def main() -> int:
         num_steps=TIMED_STEPS, state=state, measure=measure, run_key=key,
         start_step=WARMUP_STEPS,
     )
-    jax.block_until_ready(state.pos)
+    # Force a device->host pull: in this environment block_until_ready
+    # can return before the tunneled device actually finishes, which
+    # once inflated the reported throughput 16x.
+    checksum = float(state.pos[:, 2].sum())
     elapsed = time.time() - t0
 
     value = n * TIMED_STEPS / elapsed
@@ -71,6 +74,7 @@ def main() -> int:
         "elapsed_sec": elapsed,
         "steps_per_sec": TIMED_STEPS / elapsed,
         "collisions": int(sim.finalize_measure(measure).collision_count),
+        "checksum": checksum,
         "device": jax.devices()[0].device_kind,
     }
     print(json.dumps(result))

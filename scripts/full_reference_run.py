@@ -49,7 +49,9 @@ def main() -> int:
     print(f"full run: N={n} steps={args.steps}", file=sys.stderr)
     t0 = time.time()
     state, measure, metrics = sim.run(num_steps=args.steps)
-    jax.block_until_ready(state.pos)
+    # Host pull forces true completion (tunnel block_until_ready can
+    # return early; see bench.py).
+    float(state.pos[:, 2].sum())
     elapsed = time.time() - t0
     print(f"completed in {elapsed/60:.1f} min "
           f"({args.steps * n / elapsed:.3e} particle-steps/s)",

@@ -364,8 +364,16 @@ def cell_partner_search(
     chunk = -(-width // n_chunks)  # balance the chunks
 
     # Pad the planes/neighbour table so every scanned chunk is full-size
-    # (padding rows look like the dummy empty cell).
-    pad_rows = max(n_chunks * chunk - width, 0)
+    # (padding rows look like the dummy empty cell).  In windowed mode
+    # the window may START anywhere up to num_cells, and dynamic_slice
+    # silently CLAMPS an out-of-range start -- which would misalign the
+    # partner readback and drop collisions near late shards' boundaries
+    # (caught by tests/test_cross_shard_pair.py) -- so pad by the full
+    # scanned extent.
+    if cell_window is None:
+        pad_rows = max(n_chunks * chunk - width, 0)
+    else:
+        pad_rows = n_chunks * chunk
     px_p = jnp.pad(px, ((0, pad_rows), (0, 0)), constant_values=1e9)
     py_p = jnp.pad(py, ((0, pad_rows), (0, 0)), constant_values=1e9)
     pz_p = jnp.pad(pz, ((0, pad_rows), (0, 0)), constant_values=1e9)

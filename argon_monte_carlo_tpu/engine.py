@@ -149,13 +149,15 @@ def make_step_fn(workload: Workload, device_grid=None):
 
         if eng.hist_flush_interval <= 1:
             measure = measure_ops.flush_pending(
-                measure, eng.num_bins, eng.hist_range[1]
+                measure, eng.num_bins, eng.hist_range[1],
+                use_pallas=eng.use_pallas_hist,
             )
         else:
             measure = jax.lax.cond(
                 step_index % eng.hist_flush_interval == 0,
                 lambda m: measure_ops.flush_pending(
-                    m, eng.num_bins, eng.hist_range[1]
+                    m, eng.num_bins, eng.hist_range[1],
+                    use_pallas=eng.use_pallas_hist,
                 ),
                 lambda m: m,
                 measure,

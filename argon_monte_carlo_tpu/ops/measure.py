@@ -76,10 +76,14 @@ def record_completed(
 
 
 def flush_pending(measure: Measurements, num_bins: int,
-                  hist_hi: float) -> Measurements:
+                  hist_hi: float, use_pallas: bool = False) -> Measurements:
     """Flush all staged events: running sums/counts + one histogram
-    scatter-add (the per-case variants cost ~40 N-sized reductions per
-    step)."""
+    update (the per-case variants cost ~40 N-sized reductions per step).
+
+    ``use_pallas`` bins with the VMEM compare-reduce kernel
+    (ops/pallas_hist.py) instead of an XLA scatter-add -- ~2x faster on
+    TPU; leave False on CPU / inside shard_map.
+    """
     emitted = measure.pending_mask[:, None]
     measure.path_sum = measure.path_sum + jnp.sum(
         jnp.where(emitted, measure.pending_vals, 0.0), axis=0
@@ -97,9 +101,17 @@ def flush_pending(measure: Measurements, num_bins: int,
     w = jnp.broadcast_to(
         measure.pending_mask[:, None].astype(jnp.float32), ids.shape
     ).reshape(-1)
-    measure.hist = (
-        measure.hist.reshape(-1).at[flat].add(w).reshape(measure.hist.shape)
-    )
+    total_bins = 4 * (num_bins + 1)
+    if use_pallas:
+        from .pallas_hist import histogram_804
+
+        delta = histogram_804(flat, w, total_bins)
+        measure.hist = measure.hist + delta.reshape(measure.hist.shape)
+    else:
+        measure.hist = (
+            measure.hist.reshape(-1).at[flat].add(w)
+            .reshape(measure.hist.shape)
+        )
     measure.pending_vals = jnp.zeros_like(measure.pending_vals)
     measure.pending_mask = jnp.zeros_like(measure.pending_mask)
     return measure

@@ -32,6 +32,10 @@ def main() -> int:
     eng = amc.EngineConfig(
         dtype="float32", broadphase="cells", steps_per_epoch=20,
         hist_flush_interval=8,
+        # The Pallas histogram kernel wins 2x standalone but regressed
+        # 6x when embedded in the scan via lax.cond in this environment;
+        # off until the interaction is profiled (see ops/pallas_hist.py).
+        use_pallas_hist=False,
     )
     cfg = amc.temperature_pore_config(engine=eng).scaled_to(BENCH_PARTICLES)
     n = cfg.num_molecules

@@ -102,7 +102,8 @@ def main(argv=None) -> int:
     cfg = make_config(args)
     os.makedirs(args.out, exist_ok=True)
     logger = metrics_io.MetricsLogger(
-        args.metrics or os.path.join(args.out, "metrics.jsonl")
+        args.metrics or os.path.join(args.out, "metrics.jsonl"),
+        resume=bool(args.resume),
     )
 
     if args.mesh > 1:

@@ -30,6 +30,7 @@ def save_checkpoint(path: str, state: ParticleState, measure: Measurements,
         collision_count=np.asarray(measure.collision_count),
         err_count=np.asarray(measure.err_count),
         overflow_count=np.asarray(measure.overflow_count),
+        halo_trunc_count=np.asarray(measure.halo_trunc_count),
         run_key=np.asarray(run_key),
         step=np.asarray(step),
     )
@@ -54,6 +55,11 @@ def load_checkpoint(path: str):
             collision_count=jnp.asarray(z["collision_count"]),
             err_count=jnp.asarray(z["err_count"]),
             overflow_count=jnp.asarray(z["overflow_count"]),
+            # Absent in pre-r2 checkpoints.
+            halo_trunc_count=jnp.asarray(
+                z["halo_trunc_count"] if "halo_trunc_count" in z.files
+                else np.zeros((), np.int32)
+            ),
             # Step-transient staging; always empty at epoch boundaries.
             pending_vals=jnp.zeros((n, 4), dtype),
             pending_mask=jnp.zeros((n,), jnp.bool_),

@@ -15,11 +15,21 @@ import numpy as np
 
 
 class MetricsLogger:
-    """Append-only JSONL writer for per-epoch simulation metrics."""
+    """JSONL writer for per-epoch simulation metrics.
 
-    def __init__(self, path: Optional[str] = None, stream: Optional[IO] = None):
-        self._fh = open(path, "a") if path else stream
+    ``resume=False`` (a fresh run) truncates any stale file so records
+    from a previous run in the same out-dir never interleave; ``resume=
+    True`` appends.  Throughput is reported per epoch window (time since
+    the previous record in THIS session), so it is meaningful across
+    resumes; ``session_particle_steps_per_sec`` is the running session
+    aggregate.
+    """
+
+    def __init__(self, path: Optional[str] = None, stream: Optional[IO] = None,
+                 resume: bool = False):
+        self._fh = open(path, "a" if resume else "w") if path else stream
         self._t0 = time.time()
+        self._last = self._t0
         self._steps_done = 0
 
     def log_epoch(self, metrics, num_particles: int,
@@ -28,6 +38,8 @@ class MetricsLogger:
         n_steps = int(m["collisions"].shape[0])
         self._steps_done += n_steps
         now = time.time()
+        window = max(now - self._last, 1e-9)
+        self._last = now
         record = {
             "time": now,
             "elapsed_s": now - self._t0,
@@ -40,7 +52,8 @@ class MetricsLogger:
             "energy_cold_sum": float(m["energy_cold"].sum()),
             "oob_after_walls": int(m["oob_after_walls"].sum()),
             "oob_after_pairs": int(m["oob_after_pairs"].sum()),
-            "particle_steps_per_sec": (
+            "particle_steps_per_sec": n_steps * num_particles / window,
+            "session_particle_steps_per_sec": (
                 self._steps_done * num_particles / max(now - self._t0, 1e-9)
             ),
         }

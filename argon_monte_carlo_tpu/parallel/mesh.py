@@ -17,6 +17,13 @@ def make_mesh(n_devices: int | None = None, devices=None) -> jax.sharding.Mesh:
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"make_mesh({n_devices}) but only {len(devices)} devices "
+                f"are visible ({[d.platform for d in devices]}); a "
+                "silently-truncated mesh would run a vacuous 1-shard "
+                "simulation"
+            )
         devices = devices[:n_devices]
     import numpy as np
 

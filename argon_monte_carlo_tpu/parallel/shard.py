@@ -272,6 +272,15 @@ class ShardedSimulation:
                 return workload.wall_pass(st, prior_parked, measure, key)
 
             state, measure, ledger = masked_phase(state, valid, walls)
+            # Missed-case audit (reference re-evaluates every wall-case
+            # predicate post-handling, Open_Air_Pore_MC.py:488-511); run
+            # on the parked view so invalid lanes can't trip predicates.
+            if eng.debug_audits and workload.audit_fn is not None:
+                parked = jnp.where(valid[:, None], state.pos, park)
+                audit_state = dataclasses.replace(state, pos=parked)
+                missed = workload.audit_fn(audit_state, prior_parked)
+            else:
+                missed = jnp.zeros((10,), jnp.int32)
             state, oob_walls = masked_phase(state, valid, workload.post_wall)
 
             # HALO EXCHANGE: copy boundary bands to neighbours.
@@ -376,13 +385,18 @@ class ShardedSimulation:
             )
             gid = gid.at[target].set(inc["gid"], mode="drop")
             valid = valid.at[target].set(place, mode="drop")
-            # Lost particles: migration-buffer drops (d3, d4), receive-side
-            # buffer-full drops, and halo-band truncation (d1, d2 -- those
-            # only lose collision visibility, not the particle, but are
-            # surfaced the same way).
+            # ACTUAL particle loss: migration-buffer drops (d3, d4) and
+            # receive-side buffer-full drops go to overflow_count.  Halo-
+            # band truncation (d1, d2) only loses cross-shard collision
+            # VISIBILITY (the particle stays on its owner), so it is
+            # tracked separately (halo_trunc_count) and a nonzero value
+            # asks for a bigger halo_capacity, not a lost-particle hunt.
             lost = jnp.sum(flag & ~place, dtype=jnp.int32) + d3 + d4
             measure.overflow_count = (
-                measure.overflow_count + overflow + lost + d1 + d2
+                measure.overflow_count + overflow + lost
+            )
+            measure.halo_trunc_count = (
+                measure.halo_trunc_count + d1 + d2
             )
             measure.err_count = measure.err_count + ledger.errs
             measure.collision_count = (
@@ -399,9 +413,7 @@ class ShardedSimulation:
                 wall_hits=jax.lax.psum(ledger.wall_hits, AXIS),
                 oob_after_walls=jax.lax.psum(oob_walls, AXIS),
                 oob_after_pairs=jax.lax.psum(oob_pairs, AXIS),
-                missed_cases=jax.lax.psum(
-                    jnp.zeros((10,), jnp.int32), AXIS
-                ),
+                missed_cases=jax.lax.psum(missed, AXIS),
                 nonfinite=jax.lax.psum(jnp.zeros((), jnp.int32), AXIS),
             )
             return (state, valid, gid, measure, shard_key), metrics

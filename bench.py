@@ -31,11 +31,10 @@ def main() -> int:
 
     eng = amc.EngineConfig(
         dtype="float32", broadphase="cells", steps_per_epoch=20,
-        hist_flush_interval=8,
-        # The Pallas histogram kernel wins 2x standalone but regressed
-        # 6x when embedded in the scan via lax.cond in this environment;
-        # off until the interaction is profiled (see ops/pallas_hist.py).
-        use_pallas_hist=False,
+        # Exact histogram semantics: benchmark the same program the
+        # parity/golden runs validate (hist_flush_interval=1 measured
+        # within noise of the lossy interval-8 variant on TPU).
+        hist_flush_interval=1,
     )
     cfg = amc.temperature_pore_config(engine=eng).scaled_to(BENCH_PARTICLES)
     n = cfg.num_molecules
@@ -51,7 +50,13 @@ def main() -> int:
     state, measure, _ = sim.run(
         num_steps=WARMUP_STEPS, state=state, measure=measure, run_key=key
     )
-    jax.block_until_ready(state.pos)
+    # Force a device->host pull: through this environment's TPU tunnel
+    # block_until_ready returns EARLY (before compile+execution finish),
+    # which previously leaked the multi-minute XLA compile tail into the
+    # timed region and understated throughput ~4x (BENCH_r01 9.7e5 vs
+    # the true 3.6e6).  A scalar read cannot complete before the warmup
+    # epochs actually ran.
+    _ = float(state.pos[0, 0])
     print(f"bench: warmup (incl. compile) {time.time()-t0:.1f}s",
           file=sys.stderr)
 

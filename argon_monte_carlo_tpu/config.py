@@ -61,6 +61,11 @@ class EngineConfig:
     # kernel instead of an XLA scatter-add (~2x faster on TPU; keep
     # False on CPU and in the sharded engine).
     use_pallas_hist: bool = False
+    # Narrow-phase sweep implementation: "auto" picks the Pallas
+    # sliding-window kernel (ops/pallas_sweep.py) on TPU when the grid
+    # supports it and falls back to the chunked XLA sweep elsewhere
+    # (CPU tests, sharded engine, degenerate grids); "on"/"off" force.
+    use_pallas_sweep: str = "auto"
     # Flush staged histogram events every N steps.  1 is exact per the
     # one-pending-slot-per-particle semantics; larger values trade a tiny
     # sample loss (a particle colliding twice within the window only bins

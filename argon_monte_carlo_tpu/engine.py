@@ -55,9 +55,27 @@ class Workload:
     audit_fn: Optional[Callable] = None
 
 
-def build_device_grid(workload: Workload):
-    """Host-build the collision grid for a workload; returns a DeviceGrid
-    pytree or None for the all-pairs broad phase.
+def resolve_pallas_sweep(eng, host_grid) -> bool:
+    """Decide whether the Pallas narrow-phase kernel drives the sweep."""
+    if eng.broadphase != "cells" or host_grid is None:
+        return False
+    mode = getattr(eng, "use_pallas_sweep", "off")
+    if mode == "off":
+        return False
+    from .ops import pallas_sweep
+
+    supported = pallas_sweep.grid_supports_pallas(host_grid)
+    if mode == "on":
+        if not supported:
+            raise ValueError("grid too degenerate for the Pallas sweep")
+        return True
+    # auto: TPU backends only (the XLA sweep is the CPU/test path).
+    return supported and jax.default_backend() not in ("cpu",)
+
+
+def build_grids(workload: Workload):
+    """Host-build the collision grid; returns (host_grid, device_grid)
+    or (None, None) for the all-pairs broad phase.
 
     The grid tables (notably the (C, 27) neighbour map) are passed into
     the jitted epoch as ARGUMENTS, not closure constants: at 10M
@@ -67,7 +85,7 @@ def build_device_grid(workload: Workload):
     cfg = workload.cfg
     eng = cfg.engine
     if eng.broadphase != "cells":
-        return None
+        return None, None
     physics = cfg.physics
     cell_size = cell_size_for(
         eng, physics, cfg.num_molecules, workload.fluid_volume
@@ -77,17 +95,30 @@ def build_device_grid(workload: Workload):
     )
     geom = cfg.geometry
     if hasattr(geom, "total_height"):  # pore
-        host_grid = collide.grid_for_pore(geom, cell_size, capacity)
+        build = collide.grid_for_pore
         center = (0.0, 0.0)
     else:  # cube
-        host_grid = collide.grid_for_cube(geom, cell_size, capacity)
+        build = collide.grid_for_cube
         center = (geom.lx / 2.0, geom.ly / 2.0)
-    return collide.DeviceGrid.from_grid(
+    host_grid = build(geom, cell_size, capacity)
+    if resolve_pallas_sweep(eng, host_grid):
+        from .ops import pallas_sweep
+
+        if capacity != pallas_sweep.CAP:
+            # The Pallas slot-plane layout is fixed at CAP slots/cell.
+            host_grid = build(geom, cell_size, pallas_sweep.CAP)
+    device_grid = collide.DeviceGrid.from_grid(
         host_grid, jnp.dtype(eng.dtype), center
     )
+    return host_grid, device_grid
 
 
-def make_step_fn(workload: Workload, device_grid=None):
+def build_device_grid(workload: Workload):
+    """Back-compat helper returning only the device grid."""
+    return build_grids(workload)[1]
+
+
+def make_step_fn(workload: Workload, device_grid=None, host_grid=None):
     """Build the scannable per-timestep function.
 
     ``device_grid`` may hold traced arrays (the jitted caller passes the
@@ -106,11 +137,25 @@ def make_step_fn(workload: Workload, device_grid=None):
 
     if eng.broadphase == "cells":
         if device_grid is None:
-            device_grid = build_device_grid(workload)
+            host_grid, device_grid = build_grids(workload)
+        if host_grid is not None and resolve_pallas_sweep(eng, host_grid):
+            from .ops import pallas_sweep
 
-        def search(pos):
-            return collide.cell_partner_search(pos, device_grid,
-                                               search_radius)
+            plan = pallas_sweep.plan_for_grid(host_grid)
+
+            def table_fn(pos):
+                cid = collide.assign_cells(pos, device_grid)
+                return collide.slot_assignment(cid, device_grid)
+
+            def search(pos):
+                return pallas_sweep.pallas_partner_search(
+                    pos, device_grid, plan, search_radius, table_fn
+                )
+        else:
+
+            def search(pos):
+                return collide.cell_partner_search(pos, device_grid,
+                                                   search_radius)
     elif eng.broadphase == "allpairs":
 
         def search(pos):
@@ -197,10 +242,11 @@ class Simulation:
     def __init__(self, workload: Workload):
         self.workload = workload
         self.cfg = workload.cfg
-        self._dgrid = build_device_grid(workload)
+        self._hgrid, self._dgrid = build_grids(workload)
+        hgrid = self._hgrid
 
         def run_epoch(state, measure, base_key, step_indices, dgrid):
-            step = make_step_fn(workload, dgrid)
+            step = make_step_fn(workload, dgrid, host_grid=hgrid)
             (state, measure, _), metrics = jax.lax.scan(
                 step, (state, measure, base_key), step_indices
             )

@@ -271,6 +271,36 @@ def build_cell_table(cell_id: jnp.ndarray, grid: DeviceGrid):
     return table, overflow, pslot
 
 
+def slot_assignment(cell_id: jnp.ndarray, grid: DeviceGrid):
+    """(pslot, overflow) without materializing the cell table.
+
+    pslot = cell_id * capacity + rank-within-cell; over-capacity ranks
+    map to ``num_cells * capacity`` (the dummy slot).  The Pallas sweep
+    consumes this directly (ops/pallas_sweep.py); the XLA sweep needs
+    the full table and uses build_cell_table instead.
+    """
+    n = cell_id.shape[0]
+    cap = grid.capacity
+    order = jnp.argsort(cell_id)
+    sorted_cid = cell_id[order]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sorted_cid[1:] != sorted_cid[:-1]]
+    )
+    first = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, idx, 0)
+    )
+    rank = idx - first
+    in_cap = rank < cap
+    real = sorted_cid < grid.num_cells
+    overflow = jnp.sum(~in_cap & real, dtype=jnp.int32)
+    slot = jnp.where(
+        in_cap & real, sorted_cid * cap + rank, grid.num_cells * cap
+    )
+    pslot = jnp.zeros((n,), jnp.int32).at[order].set(slot.astype(jnp.int32))
+    return pslot, overflow
+
+
 def cell_partner_search(
     pos: jnp.ndarray,
     grid: DeviceGrid,

@@ -65,7 +65,11 @@ class EngineConfig:
     # sliding-window kernel (ops/pallas_sweep.py) on TPU when the grid
     # supports it and falls back to the chunked XLA sweep elsewhere
     # (CPU tests, sharded engine, degenerate grids); "on"/"off" force.
-    use_pallas_sweep: str = "auto"
+    # Default off: the kernel is correct (bitwise-matches the XLA sweep
+    # on the real chip) but its (R, CAP, CAP) inner shape lowers to tiny
+    # per-sublane vector ops and measures 5.5x slower than the XLA sweep
+    # at 200K particles; the rotation-form rewrite will flip this on.
+    use_pallas_sweep: str = "off"
     # Flush staged histogram events every N steps.  1 is exact per the
     # one-pending-slot-per-particle semantics; larger values trade a tiny
     # sample loss (a particle colliding twice within the window only bins

@@ -46,11 +46,19 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CAP = 16            # particle slots per cell (planes layout is fixed to this)
+CAP = 32            # particle slots per cell (planes layout is fixed to this)
 NFIELD = 4          # x, y, z, particle-index(bitcast f32)
-ROW = NFIELD * CAP  # 64 lanes per cell row
+ROW = NFIELD * CAP  # 128 lanes per cell row -- exactly one TPU lane tile.
+                    # Mosaic requires HBM DMA slices to be 128-aligned in
+                    # the minor dim, so the row width is not negotiable;
+                    # CAP=32 makes every lane carry a real field value.
 INT_BIG = jnp.int32(2**30)
 SENTINEL = 1e9      # far-away fill for empty slots; bitcast > 2**30 as int32
+
+# Mean cell occupancy sized so the Poisson tail fits in CAP slots
+# (occ + 5*sqrt(occ) + 4 <= 32); the engine builds the Pallas grid with
+# this occupancy so all 32 slots are load-bearing rather than padding.
+TARGET_OCCUPANCY = 11.0
 
 
 # --------------------------------------------------------------------------
@@ -288,7 +296,10 @@ def _sweep_kernel(R, r2, tbl_ref, planes_hbm, out_hbm,
                 jnp.where(hit, cix[:, None, :], 2**30), axis=-1
             )
             best = jnp.minimum(best, cand)
-    scr_res[:, :] = jnp.where(best < 2**30, best, -1)
+    res = jnp.where(best < 2**30, best, -1)
+    # The output row is 128 lanes (Mosaic DMA alignment); replicate the
+    # (R, CAP) result across the row -- readback uses lanes [0, CAP).
+    scr_res[:, :] = jnp.concatenate([res] * (ROW // CAP), axis=1)
     cp_res = pltpu.make_async_copy(
         scr_res, out_hbm.at[pl.ds(out_base, R)], sems.at[9]
     )
@@ -308,7 +319,7 @@ def _sweep_call(plan: BlockPlan, r2: float, interpret: bool = False):
         scratch_shapes=[
             pltpu.VMEM((R, ROW), jnp.float32),
             pltpu.VMEM((9, R + 2, ROW), jnp.float32),
-            pltpu.VMEM((R, CAP), jnp.int32),
+            pltpu.VMEM((R, ROW), jnp.int32),
             pltpu.SemaphoreType.DMA((10,)),
         ],
     )
@@ -316,7 +327,7 @@ def _sweep_call(plan: BlockPlan, r2: float, interpret: bool = False):
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((plan.num_rows, CAP), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((plan.num_rows, ROW), jnp.int32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )
@@ -371,7 +382,9 @@ def pallas_partner_search(pos, grid, plan: BlockPlan, search_radius,
         jnp.asarray(plan.tbl), planes
     )
     flat = partner_rows.reshape(-1)
-    idx = pslot + plan.lead * CAP
+    # Output rows are ROW lanes wide with the (R, CAP) result replicated;
+    # slot s of cell row r lives at flat index r*ROW + s%CAP.
+    idx = (plan.lead + pslot // CAP) * ROW + pslot % CAP
     in_table = pslot < plan.num_cells * CAP
     partner = jnp.where(
         in_table, flat[jnp.clip(idx, 0, flat.shape[0] - 1)], -1

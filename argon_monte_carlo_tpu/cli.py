@@ -42,6 +42,13 @@ def build_parser() -> argparse.ArgumentParser:
                        help="output directory for artifacts")
         w.add_argument("--dtype", choices=["float32", "float64"],
                        default="float32")
+        w.add_argument("--narrowphase", choices=["sweep", "pairs"],
+                       default="sweep",
+                       help="'pairs' = Verlet reach-pair list (sweep only "
+                            "every --rebuild-interval steps)")
+        w.add_argument("--rebuild-interval", type=int, default=1,
+                       help="pair-list rebuild period K (narrowphase="
+                            "pairs)")
         w.add_argument("--broadphase", choices=["cells", "allpairs"],
                        default=None)
         w.add_argument("--steps-per-epoch", type=int, default=100)
@@ -71,7 +78,9 @@ def make_config(args):
 
     eng_kwargs = dict(dtype=args.dtype, steps_per_epoch=args.steps_per_epoch,
                       debug_audits=args.debug_audits,
-                      check_finite=args.check_finite)
+                      check_finite=args.check_finite,
+                      narrowphase=getattr(args, "narrowphase", "sweep"),
+                      rebuild_interval=getattr(args, "rebuild_interval", 1))
     if args.workload == "cube":
         eng_kwargs.setdefault("broadphase", args.broadphase or "allpairs")
         cfg = CubeConfig(

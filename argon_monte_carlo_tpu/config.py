@@ -33,7 +33,11 @@ class EngineConfig:
     # "cells" (compact region-aware cell list, scales to millions).
     broadphase: str = "cells"
     # Target mean particles per occupied cell (sets the cell size).
-    cell_occupancy: float = 6.0
+    # 11 (with the auto capacity formula landing on 32 slots) halves the
+    # cell count vs the former 6: on the attached chip the XLA sweep's
+    # cost is dominated by per-row neighbour gathers (~6 ns/row
+    # regardless of width), so fewer, fatter cells win.
+    cell_occupancy: float = 11.0
     # Max particles stored per cell; None = auto from the occupancy
     # Poisson tail (occ + 5*sqrt(occ) + 4, rounded up to 8).  Overflow is
     # counted in metrics either way.
@@ -46,9 +50,16 @@ class EngineConfig:
     # Open_Air_Cube_MC.py:81,344).
     num_bins: int = 200
     hist_range: tuple[float, float] = (0.0, 1e-6)
-    # Reserved for Verlet-list amortization (rebuild the sorted cell
-    # structure every N steps against a skin-padded search radius).  The
-    # current engine rebuilds every step; values > 1 are rejected.
+    # Narrow-phase strategy.  "sweep": full 27-neighbourhood sweep every
+    # step (reference-shaped; Open_Air_Pore_MC.py:160-255).  "pairs":
+    # Verlet reach-pair list (ops/pairs.py) -- the sweep runs only every
+    # ``rebuild_interval`` steps with per-particle reach radii, and each
+    # step tests the listed pairs exactly; identical collision semantics
+    # (tests/test_pairs.py asserts bitwise-equal trajectories).
+    narrowphase: str = "sweep"
+    # Steps between pair-list rebuilds in narrowphase="pairs" (the
+    # Verlet-list amortization window K; reach = cr/2 + |v| K dt).
+    # narrowphase="sweep" requires 1 (it re-sweeps every step).
     rebuild_interval: int = 1
     # Re-evaluate every wall-case predicate after the wall phase and
     # report residual counts per step (the reference's "missed case"
@@ -57,9 +68,9 @@ class EngineConfig:
     # Count non-finite state elements per step (NaN/inf sanitizer; the
     # reference uses np.seterr(all='raise'), Open_Air_Pore_MC.py:11).
     check_finite: bool = False
-    # Bin staged histogram events with the Pallas VMEM compare-reduce
-    # kernel instead of an XLA scatter-add (~2x faster on TPU; keep
-    # False on CPU and in the sharded engine).
+    # Removed knob kept for config-file compatibility: staged histogram
+    # events are now compacted before binning (ops/measure.flush_pending),
+    # which obsoleted the Pallas compare-reduce histogram kernel.
     use_pallas_hist: bool = False
     # Narrow-phase sweep implementation: "auto" picks the Pallas
     # sliding-window kernel (ops/pallas_sweep.py) on TPU when the grid

@@ -152,10 +152,16 @@ def make_step_fn(workload: Workload, device_grid=None, host_grid=None):
     grid as an argument); None builds it on the host (small-N tools)."""
     cfg = workload.cfg
     eng = cfg.engine
+    if getattr(eng, "narrowphase", "sweep") == "pairs":
+        raise ValueError(
+            "narrowphase='pairs' uses make_pairs_step_fn (the step "
+            "carries the Verlet pair list); Simulation dispatches "
+            "automatically"
+        )
     if eng.rebuild_interval != 1:
-        raise NotImplementedError(
-            "rebuild_interval > 1 (Verlet-list amortization) is reserved "
-            "for a future engine version"
+        raise ValueError(
+            "rebuild_interval > 1 requires narrowphase='pairs' (the "
+            "per-step sweep rebuilds its cell structure every step)"
         )
     physics = cfg.physics
     dt = cfg.dt
@@ -263,6 +269,158 @@ def make_step_fn(workload: Workload, device_grid=None, host_grid=None):
     return step
 
 
+def make_pairs_step_fn(workload: Workload, device_grid, host_grid):
+    """Scannable step for the Verlet reach-pair engine (ops/pairs.py).
+
+    Carry: (state, measure, base_key, PairList).  Physics order matches
+    make_step_fn exactly -- drift, walls, recapture, pair collisions,
+    recapture -- with the narrow phase evaluated on the candidate list
+    and dirty particles (speed changed / teleported / hot) re-searched
+    in-step so coverage stays exact between rebuilds.
+    """
+    from .ops import pairs as pairs_ops
+
+    cfg = workload.cfg
+    eng = cfg.engine
+    physics = cfg.physics
+    dt = cfg.dt
+    cr = physics.collision_range
+    if eng.broadphase != "cells":
+        raise ValueError("narrowphase='pairs' requires broadphase='cells'")
+    pcfg = pairs_ops.default_pair_config(
+        cfg.num_molecules, max(eng.rebuild_interval, 1)
+    )
+
+    def step(carry, step_index):
+        state, measure, base_key, plist = carry
+        key = jax.random.fold_in(base_key, step_index)
+
+        # REBUILD (pre-drift positions; age sentinel forces the first).
+        do_rebuild = plist.age >= pcfg.rebuild_interval
+        plist = jax.lax.cond(
+            do_rebuild,
+            lambda pl: pairs_ops.rebuild(
+                state, device_grid, pcfg, cr, dt, pl
+            ),
+            lambda pl: pl,
+            plist,
+        )
+
+        speed_pre = jnp.linalg.norm(state.vel, axis=-1)
+
+        # DRIFT (Open_Air_Cube_MC.py:179-187) + path accrual.
+        prior = state.pos
+        state.paths = measure_ops.accumulate_drift(state, dt)
+        state.pos = state.pos + dt * state.vel
+
+        # WALL CASES
+        state, measure, ledger = workload.wall_pass(
+            state, prior, measure, key
+        )
+        if eng.debug_audits and workload.audit_fn is not None:
+            missed = workload.audit_fn(state, prior)
+        else:
+            missed = jnp.zeros((10,), jnp.int32)
+        pos_pre_recap = state.pos
+        state, oob_walls = workload.post_wall(state)
+        recap_w = jnp.any(state.pos != pos_pre_recap, axis=-1)
+
+        # PARTICLE-PARTICLE COLLISIONS on the candidate list.
+        state, measure, pair_collisions, collided = (
+            pairs_ops.test_and_resolve(
+                state, measure, plist, cr, eng.num_bins,
+                eng.hist_range[1], pcfg.event_capacity,
+            )
+        )
+        pos_pre_recap = state.pos
+        state, oob_pairs = workload.post_pairs(state)
+        recap_p = jnp.any(state.pos != pos_pre_recap, axis=-1)
+
+        # DIRTY RE-SEARCH: anything whose displacement bound broke this
+        # step (speed gain/loss via energized walls or impulses, or a
+        # recapture teleport) plus the standing hot set.
+        speed_post = jnp.linalg.norm(state.vel, axis=-1)
+        bump = (speed_post != speed_pre) | collided
+        # Teleported particles break the stale-position bound outright:
+        # re-search them with fresh positions every remaining step.
+        plist.hot = plist.hot | recap_w | recap_p
+        # pending1: one-shot research of rebuild-time full emissions.
+        dirty = bump | plist.hot | plist.pending1
+        n = state.pos.shape[0]
+
+        # ONE N-sized compaction shared by the histogram flush and the
+        # dirty re-search (each costs ~9 ms/step alone at 1M).  The
+        # buffer scales with N: staged events + dirty are both
+        # proportional to the per-step collision/wall-hit rate.
+        shared_cap = max(measure_ops.FLUSH_CAPACITY, n // 64)
+        shared_mask = measure.pending_mask | dirty
+        (shared_idx,) = jnp.nonzero(
+            shared_mask, size=shared_cap, fill_value=n
+        )
+        safe_sh = jnp.clip(shared_idx, 0, n - 1)
+        dirty_at = (shared_idx < n) & dirty[safe_sh]
+        (dsel,) = jnp.nonzero(
+            dirty_at, size=pcfg.research_capacity, fill_value=shared_cap
+        )
+        dirty_idx = jnp.where(
+            dsel < shared_cap,
+            shared_idx[jnp.clip(dsel, 0, shared_cap - 1)],
+            n,
+        )
+        # Dirty particles beyond either compaction are a coverage hole;
+        # count them and force a full rebuild next step.
+        research_dropped = jnp.sum(dirty, dtype=jnp.int32) - jnp.sum(
+            dirty_idx < n, dtype=jnp.int32
+        )
+        plist, research_lost = pairs_ops.research_dirty(
+            state, plist, dirty_idx, bump, device_grid, pcfg, cr, dt
+        )
+        # One-shot queue consumed (research_dropped > 0 forces a rebuild
+        # anyway, so clearing unconditionally never loses coverage).
+        plist.pending1 = jnp.zeros_like(plist.pending1)
+        force_rebuild = research_lost | (research_dropped > 0)
+        plist.age = jnp.where(
+            force_rebuild, jnp.asarray(pairs_ops.INT_BIG, jnp.int32),
+            plist.age + 1,
+        )
+
+        measure = measure_ops.flush_pending_compacted(
+            measure, shared_idx, eng.num_bins, eng.hist_range[1]
+        )
+        measure.overflow_count = (
+            measure.overflow_count + plist.overflow + research_dropped
+        )
+        plist.overflow = jnp.zeros((), jnp.int32)
+        measure.err_count = measure.err_count + ledger.errs
+        measure.collision_count = measure.collision_count + ledger.wall_hits
+
+        if eng.check_finite:
+            nonfinite = (
+                jnp.sum(~jnp.isfinite(state.pos), dtype=jnp.int32)
+                + jnp.sum(~jnp.isfinite(state.vel), dtype=jnp.int32)
+                + jnp.sum(~jnp.isfinite(state.paths), dtype=jnp.int32)
+            )
+        else:
+            nonfinite = jnp.zeros((), jnp.int32)
+
+        metrics = StepMetrics(
+            momentum_z=ledger.momentum_z,
+            energy_hot=ledger.energy_hot,
+            energy_cold=ledger.energy_cold,
+            collisions=pair_collisions + ledger.wall_hits,
+            wall_hits=ledger.wall_hits,
+            oob_after_walls=oob_walls,
+            oob_after_pairs=oob_pairs,
+            missed_cases=missed,
+            nonfinite=nonfinite,
+            rebuilt=do_rebuild.astype(jnp.int32),
+            dirty_count=jnp.sum(dirty, dtype=jnp.int32),
+        )
+        return (state, measure, base_key, plist), metrics
+
+    return step, pcfg
+
+
 class Simulation:
     """Host-side driver: init once, run jitted epochs, stream metrics."""
 
@@ -271,20 +429,58 @@ class Simulation:
         self.cfg = workload.cfg
         self._hgrid, self._dgrid = build_grids(workload)
         hgrid = self._hgrid
-
-        def run_epoch(state, measure, base_key, step_indices, dgrid):
-            step = make_step_fn(workload, dgrid, host_grid=hgrid)
-            (state, measure, _), metrics = jax.lax.scan(
-                step, (state, measure, base_key), step_indices
+        self._pairs_mode = (
+            getattr(self.cfg.engine, "narrowphase", "sweep") == "pairs"
+        )
+        if self._pairs_mode and self._dgrid is None:
+            raise ValueError(
+                "narrowphase='pairs' requires broadphase='cells' (the "
+                "pair-list rebuild sweeps the cell grid)"
             )
-            return state, measure, metrics
+        self._aux = None  # PairList carried across epochs (pairs mode)
+
+        if self._pairs_mode:
+
+            def run_epoch(state, measure, base_key, step_indices, dgrid,
+                          aux):
+                step, _ = make_pairs_step_fn(workload, dgrid, hgrid)
+                (state, measure, _, aux), metrics = jax.lax.scan(
+                    step, (state, measure, base_key, aux), step_indices
+                )
+                return state, measure, metrics, aux
+
+        else:
+
+            def run_epoch(state, measure, base_key, step_indices, dgrid,
+                          aux):
+                step = make_step_fn(workload, dgrid, host_grid=hgrid)
+                (state, measure, _), metrics = jax.lax.scan(
+                    step, (state, measure, base_key), step_indices
+                )
+                return state, measure, metrics, aux
 
         self._run_epoch_grid = jax.jit(run_epoch)
 
-    def _run_epoch(self, state, measure, base_key, step_indices):
-        return self._run_epoch_grid(
-            state, measure, base_key, step_indices, self._dgrid
+    def _init_aux(self, state):
+        if not self._pairs_mode:
+            return ()
+        from .ops import pairs as pairs_ops
+
+        pcfg = pairs_ops.default_pair_config(
+            self.cfg.num_molecules, max(self.cfg.engine.rebuild_interval, 1)
         )
+        return pairs_ops.PairList.init(
+            state.num_particles, self._dgrid, pcfg,
+            jnp.dtype(self.cfg.engine.dtype),
+        )
+
+    def _run_epoch(self, state, measure, base_key, step_indices):
+        if self._aux is None:
+            self._aux = self._init_aux(state)
+        state, measure, metrics, self._aux = self._run_epoch_grid(
+            state, measure, base_key, step_indices, self._dgrid, self._aux
+        )
+        return state, measure, metrics
 
     def init(self, seed: Optional[int] = None):
         seed = self.cfg.seed if seed is None else seed
@@ -309,6 +505,9 @@ class Simulation:
             num_steps = self.cfg.num_timesteps
         if state is None:
             state, measure, run_key = self.init(seed)
+            # Fresh particle state invalidates any carried pair list
+            # (indices refer to the old state); force a rebuild.
+            self._aux = None
         spe = self.cfg.engine.steps_per_epoch
         all_metrics = []
         step = start_step

@@ -31,6 +31,7 @@ def save_checkpoint(path: str, state: ParticleState, measure: Measurements,
         err_count=np.asarray(measure.err_count),
         overflow_count=np.asarray(measure.overflow_count),
         halo_trunc_count=np.asarray(measure.halo_trunc_count),
+        hist_drop_count=np.asarray(measure.hist_drop_count),
         run_key=np.asarray(run_key),
         step=np.asarray(step),
     )
@@ -58,6 +59,11 @@ def load_checkpoint(path: str):
             # Absent in pre-r2 checkpoints.
             halo_trunc_count=jnp.asarray(
                 z["halo_trunc_count"] if "halo_trunc_count" in z.files
+                else np.zeros((), np.int32)
+            ),
+            # Absent in pre-r2 checkpoints.
+            hist_drop_count=jnp.asarray(
+                z["hist_drop_count"] if "hist_drop_count" in z.files
                 else np.zeros((), np.int32)
             ),
             # Step-transient staging; always empty at epoch boundaries.

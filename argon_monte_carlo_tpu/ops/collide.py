@@ -324,6 +324,41 @@ def cell_partner_search(
 
     Returns (partner (N,) int32 with -1 for none, overflow_count).
     """
+    cands, overflow, _ = cell_candidate_search(
+        pos, grid, search_radius, ids=ids, valid=valid,
+        cell_window=cell_window, top_k=1,
+    )
+    return cands[:, 0], overflow
+
+
+def cell_candidate_search(
+    pos: jnp.ndarray,
+    grid: DeviceGrid,
+    search_radius: float | None = None,
+    reach: jnp.ndarray | None = None,
+    top_k: int = 1,
+    ids: jnp.ndarray | None = None,
+    valid: jnp.ndarray | None = None,
+    cell_window: tuple | None = None,
+):
+    """Up to ``top_k`` lowest-index in-range candidates per particle.
+
+    The generalization of the narrow-phase sweep behind both engines:
+
+    * ``search_radius`` -- scalar hit test ``d^2 < r^2`` (the per-step
+      sweep narrow phase, reference Open_Air_Pore_MC.py:160-255);
+    * ``reach`` -- per-particle radii, hit test
+      ``d^2 < (reach_i + reach_j)^2`` (the Verlet pair-list rebuild:
+      reach_i = cr/2 + |v_i| K dt bounds everything particle i can touch
+      within K steps, ops/pairs.py);
+    * ``top_k`` -- emit the K lowest-index candidates, ascending
+      (K=1 reproduces cell_partner_search exactly; K=4 feeds the pair
+      list, covering multi-candidate particles).
+
+    Returns (candidates (N, top_k) int32 ascending with -1 padding,
+    overflow_count, pack) where ``pack`` is the (pslot, mega) packing
+    reused by ops/pairs.research_dirty for stale-neighbourhood lookups.
+    """
     n = pos.shape[0]
     cap = grid.capacity
     num_rows = grid.num_cells + 1
@@ -339,7 +374,15 @@ def cell_partner_search(
     in_slot = flat_idx < n
     src = jnp.where(in_slot, flat_idx, 0)
     far = jnp.asarray(1e9, pos.dtype)
-    packed = jnp.where(in_slot[:, None], pos[src], far)
+    if reach is not None:
+        # Ride the reach values in the same slot gather (a separate
+        # reach[src] gather measured 43 ms/rebuild at 1M).
+        gath = jnp.concatenate(
+            [pos, reach.astype(pos.dtype)[:, None]], axis=1
+        )
+    else:
+        gath = pos
+    packed = jnp.where(in_slot[:, None], gath[src], far)
 
     def plane(col):
         return packed[:, col].reshape(num_rows, cap)
@@ -354,30 +397,39 @@ def cell_partner_search(
         pid = jnp.where(
             in_slot, ids.astype(jnp.int32)[src], jnp.int32(-2)
         ).reshape(num_rows, cap)
+    if reach is not None:
+        # Empty slots carry the far sentinel as "reach"; the pair test
+        # d^2 < (r_i + r_j)^2 against a slot at distance ~1e9 with reach
+        # ~1e9 could spuriously fire, so zero them explicitly.
+        pr = jnp.where(in_slot.reshape(num_rows, cap), plane(3), 0.0)
+    else:
+        assert search_radius is not None
+        pr = None
 
     if cell_window is None:
         start, width = 0, grid.num_cells
     else:
         start, width = cell_window
 
-    r2 = jnp.asarray(search_radius * search_radius, pos.dtype)
+    r2 = (None if search_radius is None
+          else jnp.asarray(search_radius * search_radius, pos.dtype))
     int_big = jnp.int32(2**30)
     group = 5
 
-    # All five candidate planes packed side by side so each neighbour-cell
+    # All candidate planes packed side by side so each neighbour-cell
     # access is ONE wide row gather instead of five narrow ones (TPU
     # gather cost is dominated by per-row overhead).  Integer planes ride
     # along bit-cast to f32 (values preserved exactly).
-    mega = jnp.concatenate(
-        [
-            px, py, pz,
-            jax.lax.bitcast_convert_type(pid, pos.dtype)
-            if pos.dtype == jnp.float32 else pid.astype(pos.dtype),
-            jax.lax.bitcast_convert_type(pix, pos.dtype)
-            if pos.dtype == jnp.float32 else pix.astype(pos.dtype),
-        ],
-        axis=1,
-    )                                                  # (num_rows, 5*cap)
+    planes_list = [
+        px, py, pz,
+        jax.lax.bitcast_convert_type(pid, pos.dtype)
+        if pos.dtype == jnp.float32 else pid.astype(pos.dtype),
+        jax.lax.bitcast_convert_type(pix, pos.dtype)
+        if pos.dtype == jnp.float32 else pix.astype(pos.dtype),
+    ]
+    if pr is not None:
+        planes_list.append(pr)
+    mega = jnp.concatenate(planes_list, axis=1)       # (num_rows, P*cap)
 
     def unpack_int(block_col):
         if pos.dtype == jnp.float32:
@@ -408,6 +460,8 @@ def cell_partner_search(
     py_p = jnp.pad(py, ((0, pad_rows), (0, 0)), constant_values=1e9)
     pz_p = jnp.pad(pz, ((0, pad_rows), (0, 0)), constant_values=1e9)
     pid_p = jnp.pad(pid, ((0, pad_rows), (0, 0)), constant_values=-2)
+    pr_p = (None if pr is None else
+            jnp.pad(pr, ((0, pad_rows), (0, 0)), constant_values=0.0))
     nbr_p = jnp.pad(grid.neighbors, ((0, pad_rows), (0, 0)),
                     constant_values=grid.num_cells)
 
@@ -419,15 +473,17 @@ def cell_partner_search(
         c_len = chunk
         ox, oy, oz = window(px_p), window(py_p), window(pz_p)
         oid = window(pid_p)
+        orc = None if pr_p is None else window(pr_p)
         nbr = jax.lax.dynamic_slice_in_dim(nbr_p, start + c0, chunk,
                                            axis=0)
-        best_ix = oid * 0 + int_big
+        bests = tuple(oid * 0 + int_big for _ in range(top_k))
 
         # Offset-grouped: the candidate (minor) axis is group*cap wide --
         # near-full VPU lane utilization instead of the ~19% a bare `cap`
-        # axis gets after 128-lane padding.  The partner choice is the
-        # LOWEST-INDEX overlapping candidate: one fused masked min-reduce
-        # per group.  (Nearest-overlap needed a second d2-equality pass
+        # axis gets after 128-lane padding.  The candidate choice is the
+        # LOWEST-INDEX in-range candidate: one fused masked min-reduce
+        # per group (top_k > 1 re-reduces with the previous minimum
+        # masked out).  (Nearest-overlap needed a second d2-equality pass
         # that defeated fusion and doubled HBM traffic; which overlapping
         # candidate wins is physically arbitrary -- >99.9% of colliding
         # particles have exactly one candidate at these densities -- and
@@ -435,7 +491,7 @@ def cell_partner_search(
         for o0 in range(0, 27, group):
             sel = nbr[:, o0:o0 + group]                # (c_len, g)
             g = sel.shape[1]
-            block = mega[sel]                          # (c_len, g, 5*cap)
+            block = mega[sel]                          # (c_len, g, P*cap)
 
             def part(k):
                 return block[:, :, k * cap:(k + 1) * cap].reshape(
@@ -449,30 +505,50 @@ def cell_partner_search(
             dy = oy[:, :, None] - ny_[:, None, :]
             dz = oz[:, :, None] - nz_[:, None, :]
             d2 = dx * dx + dy * dy + dz * dz           # (c_len, cap, g*cap)
-            hit = (d2 < r2) & (nid[:, None, :] != oid[:, :, None])
-            cand = jnp.min(
-                jnp.where(hit, nix[:, None, :], int_big), axis=-1
-            )
-            best_ix = jnp.minimum(best_ix, cand)
-        return jnp.where(best_ix < int_big, best_ix, -1)
+            if r2 is not None:
+                in_range = d2 < r2
+            else:
+                thresh = orc[:, :, None] + part(5)[:, None, :]
+                in_range = d2 < thresh * thresh
+            hit = in_range & (nid[:, None, :] != oid[:, :, None])
+            masked = jnp.where(hit, nix[:, None, :], int_big)
+            prev = None
+            for k in range(top_k):
+                if prev is not None:
+                    masked = jnp.where(
+                        masked > prev[:, :, None], masked, int_big
+                    )
+                cand = jnp.min(masked, axis=-1)
+                prev = cand
+                # Insertion into the ascending running top-k (group
+                # minima arrive ascending, so a single min/max bubble
+                # pass per candidate keeps `bests` sorted).
+                new = []
+                for b in bests:
+                    lo = jnp.minimum(b, cand)
+                    cand = jnp.maximum(b, cand)
+                    new.append(lo)
+                bests = tuple(new)
+        stacked = jnp.stack(bests, axis=-1)            # (c_len, cap, K)
+        return jnp.where(stacked < int_big, stacked, -1)
 
     if n_chunks == 1:
-        partner_flat = sweep_chunk(0).reshape(-1)
+        cand_flat = sweep_chunk(0).reshape(-1, top_k)
     else:
         _, parts = jax.lax.scan(
             lambda carry, c0: (carry, sweep_chunk(c0)),
             None,
             jnp.arange(n_chunks, dtype=jnp.int32) * chunk,
         )
-        partner_flat = parts.reshape(-1)[: width * cap]
+        cand_flat = parts.reshape(-1, top_k)[: width * cap]
     # Read back to particle order through the particle->slot map (an
     # N-sized gather; the former slot->particle scatter moved C*cap
     # elements and cost ~5% of the whole step).
     rel = pslot - jnp.int32(start) * cap
     in_window = (rel >= 0) & (rel < width * cap)
     rel = jnp.clip(rel, 0, width * cap - 1)
-    partner = jnp.where(in_window, partner_flat[rel], -1)
-    return partner, overflow
+    cands = jnp.where(in_window[:, None], cand_flat[rel], -1)
+    return cands, overflow, (pslot, mega)
 
 
 def allpairs_partner_search(

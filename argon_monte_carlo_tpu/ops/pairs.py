@@ -1,0 +1,445 @@
+"""Verlet reach-pair narrow phase: amortize the neighbour sweep over K steps.
+
+The reference re-sweeps every cell's O(n^2) pairs every timestep
+(Open_Air_Pore_MC.py:160-255).  The per-step sweep is also this engine's
+dominant cost on TPU (measured 127 ms of a 235 ms step at 1M particles),
+yet particles move only ~cr/4 per step, so almost nothing about the
+neighbourhood changes between steps.  This module rebuilds a *candidate
+pair list* every ``rebuild_interval`` (K) steps and, per step, tests only
+the listed pairs at the exact collision range -- a Verlet list in
+pair-list form (VERDICT r1 item 5), with a rigorous coverage argument:
+
+* At rebuild, particle i gets ``reach_i = cr/2 + |v_i| K dt``: within the
+  next K drifts it can displace at most ``|v_i| K dt`` (specular walls
+  fold the path but never lengthen it and preserve speed), so ANY pair
+  that comes within cr during the window satisfied
+  ``|x_i - x_j| < reach_i + reach_j`` at rebuild time.  The sweep
+  (ops/collide.cell_candidate_search with per-particle reach) therefore
+  emits a superset of every possible collision pair -- while the
+  velocities hold.
+* Velocities change at pair collisions and energized walls, and
+  recapture teleports break the displacement bound outright.  Speed-
+  changed particles are detected IN-step and (a) re-searched against the
+  rebuild-time packed planes at ``reach_i_new + reach0_j``, and (b) have
+  their OWN stored reach bumped in place by the new full-window
+  allowance, so the stored radii remain valid bounds for every later
+  re-search (induction over speed-change events).  Teleported particles
+  and reach-clip overflows go HOT -- re-searched with fresh positions
+  every remaining step -- closing coverage exactly.
+* Listed pairs are a superset; extra pairs are harmless (the per-step
+  test applies the exact d^2 < cr^2 overlap condition on fresh
+  positions, identical to the sweep engine).  Duplicated pairs resolve
+  idempotently (both entries compute identical updates, scattered with
+  .set).  Candidate-slot overflows (a particle with more in-reach
+  neighbours than the sweep's top-k emission) are counted in
+  ``overflow`` -- at reference density the in-reach expectation is
+  ~0.4, so the top-4/top-12 budgets put overflow at the 1e-8 level.
+
+Per-step cost collapses to two M-row gathers + one event compaction --
+the sort/pack/sweep all amortize by 1/K.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..state import Measurements, ParticleState
+from . import collide
+from . import measure as measure_ops
+
+INT_BIG = 2**30
+
+
+@dataclasses.dataclass(frozen=True)
+class PairConfig:
+    """Static knobs (host ints/floats; never traced)."""
+
+    rebuild_interval: int      # K
+    pair_capacity: int         # M_cap: main emission + appended research
+    event_capacity: int        # per-step colliding-entry compaction width
+    research_capacity: int     # dirty particles re-searched per step
+    research_top_k: int        # candidates kept per re-searched particle
+    append_capacity: int       # research pair entries appended per step
+    top_k: int                 # candidates kept per particle at rebuild
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PairList:
+    """Scan-carried Verlet pair state (all shapes static)."""
+
+    a: jax.Array        # (M_cap,) int32; sentinel n = inert entry
+    b: jax.Array        # (M_cap,) int32
+    cursor: jax.Array   # () int32 next append slot
+    age: jax.Array      # () int32 steps since rebuild (INT_BIG = force)
+    mega0: jax.Array    # rebuild-time packed planes (rows, 6*cap)
+    pslot0: jax.Array   # (N,) rebuild-time particle->slot map (for the
+                        # in-place reach bumps on speed changes)
+    hot: jax.Array      # (N,) bool: re-search every step
+    pending1: jax.Array  # (N,) bool: one-shot re-search queue (full
+                        # top-k emission at rebuild; consumed next step)
+    overflow: jax.Array  # () int32 candidate/append/pair-capacity drops
+
+    @staticmethod
+    def init(n: int, grid: collide.DeviceGrid, pcfg: PairConfig,
+             dtype) -> "PairList":
+        rows = grid.num_cells + 1
+        return PairList(
+            a=jnp.full((pcfg.pair_capacity,), n, jnp.int32),
+            b=jnp.full((pcfg.pair_capacity,), n, jnp.int32),
+            cursor=jnp.zeros((), jnp.int32),
+            age=jnp.asarray(INT_BIG, jnp.int32),  # rebuild immediately
+            mega0=jnp.zeros((rows, 6 * grid.capacity), dtype),
+            pslot0=jnp.zeros((n,), jnp.int32),
+            hot=jnp.zeros((n,), jnp.bool_),
+            pending1=jnp.zeros((n,), jnp.bool_),
+            overflow=jnp.zeros((), jnp.int32),
+        )
+
+
+def reach_radii(vel: jnp.ndarray, cr: float, dt: float, k_steps: int,
+                max_reach: float):
+    """(reach (N,), clipped (N,) bool).  reach_i = cr/2 + |v_i| K dt."""
+    speed = jnp.linalg.norm(vel, axis=-1)
+    raw = 0.5 * cr + speed * (dt * k_steps)
+    return jnp.minimum(raw, max_reach), raw > max_reach
+
+
+def rebuild(state: ParticleState, grid: collide.DeviceGrid,
+            pcfg: PairConfig, cr: float, dt: float,
+            old: PairList) -> PairList:
+    """Full sweep at per-particle reach -> fresh pair list."""
+    n = state.pos.shape[0]
+    max_reach = 0.5 * grid.cell_size
+    reach, clipped = reach_radii(state.vel, cr, dt,
+                                 pcfg.rebuild_interval, max_reach)
+    cands, cell_overflow, (pslot0, mega0) = collide.cell_candidate_search(
+        state.pos, grid, reach=reach, top_k=pcfg.top_k,
+    )
+    # A full top-k emission means in-reach neighbours may have been
+    # dropped; such particles are queued for ONE research_top_k-wide
+    # re-search next step (pending1) so coverage stays exact.  (Keeping
+    # them permanently hot flooded the per-step research appends: 2,257
+    # full emissions measured at top_k=4 / 1M particles.)
+    full_mask = cands[:, -1] >= 0
+
+    # Entries (i, c) with i < c: each candidate pair appears in at least
+    # the lower side's list (both sides see the same in-reach relation).
+    # Two-stage compaction: first the ~16% of particles owning any
+    # entry, then their entries -- a single nonzero over all N*top_k
+    # entry slots measured 70 ms/rebuild at 1M.
+    idx = jnp.arange(n, dtype=jnp.int32)[:, None]
+    valid = (cands >= 0) & (idx < cands)
+    m_cap = pcfg.pair_capacity
+    has = jnp.any(valid, axis=1)
+    (pidx,) = jnp.nonzero(has, size=m_cap, fill_value=n)
+    p_ok = pidx < n
+    p_safe = jnp.where(p_ok, pidx, 0)
+    pv = valid[p_safe] & p_ok[:, None]           # (m_cap, top_k)
+    pc = cands[p_safe]
+    mk = m_cap * pcfg.top_k
+    (sel,) = jnp.nonzero(pv.reshape(-1), size=m_cap, fill_value=mk)
+    ok = sel < mk
+    sel_safe = jnp.where(ok, sel, 0)
+    a = jnp.where(ok, pidx[sel_safe // pcfg.top_k], n).astype(jnp.int32)
+    b = jnp.where(ok, pc.reshape(-1)[sel_safe], n).astype(jnp.int32)
+    count = jnp.sum(valid, dtype=jnp.int32)
+    dropped = jnp.maximum(count - m_cap, 0) + jnp.maximum(
+        jnp.sum(has, dtype=jnp.int32) - m_cap, 0
+    )
+    return PairList(
+        a=a, b=b,
+        cursor=jnp.minimum(count, m_cap),
+        age=jnp.zeros((), jnp.int32),
+        mega0=mega0,
+        pslot0=pslot0,
+        hot=clipped,
+        pending1=full_mask,
+        overflow=old.overflow + cell_overflow + dropped,
+    )
+
+
+def test_and_resolve(
+    state: ParticleState,
+    measure: Measurements,
+    pairs: PairList,
+    cr: float,
+    num_bins: int,
+    hist_hi: float,
+    event_capacity: int,
+):
+    """Exact per-step narrow phase on the listed pairs.
+
+    Semantics identical to collide.resolve_collisions (same quadratic /
+    rewind / impulse / replay, same lowest-index mutual-match rule, same
+    measurement updates) -- but evaluated only on candidate entries.
+    Returns (state, measure, n_collisions, collided_mask (N,)).
+    """
+    n = state.pos.shape[0]
+    m = pairs.a.shape[0]
+    dtype = state.pos.dtype
+
+    # One fused (N+1, 6) gather source; row n is a far-away dummy so
+    # sentinel entries can never collide.
+    sv = jnp.concatenate([state.pos, state.vel], axis=1)
+    far = jnp.concatenate(
+        [jnp.full((1, 3), 1e9, dtype), jnp.zeros((1, 3), dtype)], axis=1
+    )
+    sv = jnp.concatenate([sv, far], axis=0)
+    pa = sv[pairs.a]                               # (M, 6)
+    pb = sv[pairs.b]
+    dxv = pb[:, :3] - pa[:, :3]
+    # Sentinel entries (a == b == n) have dx = 0 and would "collide";
+    # the validity mask is load-bearing, not belt-and-braces.
+    colliding = (jnp.sum(dxv * dxv, axis=-1) < cr * cr) & (pairs.a < n)
+
+    # Compact colliding entries (collisions are ~1e-3 of candidates).
+    (eidx,) = jnp.nonzero(colliding, size=event_capacity, fill_value=m)
+    evalid = eidx < m
+    safe_e = jnp.where(evalid, eidx, 0)
+    ea = jnp.where(evalid, pairs.a[safe_e], n)
+    eb = jnp.where(evalid, pairs.b[safe_e], n)
+    ev_dropped = jnp.maximum(
+        jnp.sum(colliding, dtype=jnp.int32) - event_capacity, 0
+    )
+
+    # Lowest-index mutual matching (== sweep-engine partner rule): each
+    # particle's choice is its lowest-index overlapping partner; a pair
+    # resolves iff the choice is mutual.
+    choice = jnp.full((n + 1,), INT_BIG, jnp.int32)
+    choice = choice.at[ea].min(jnp.where(evalid, eb, INT_BIG), mode="drop")
+    choice = choice.at[eb].min(jnp.where(evalid, ea, INT_BIG), mode="drop")
+    mutual = evalid & (choice[jnp.clip(ea, 0, n)] == eb) \
+        & (choice[jnp.clip(eb, 0, n)] == ea)
+
+    # Reference collision kernel per entry (Open_Air_Pore_MC.py:181-240),
+    # both sides at once; see collide.resolve_collisions for the maths.
+    # (E-row gathers only.)
+    row_a = sv[ea]
+    row_b = sv[eb]
+    pos_a, vel_a = row_a[:, :3], row_a[:, 3:6]
+    pos_b, vel_b = row_b[:, :3], row_b[:, 3:6]
+    dx = pos_b - pos_a
+    dv = vel_a - vel_b
+    aa = jnp.sum(dv * dv, axis=-1)
+    bb = 2.0 * jnp.sum(dx * dv, axis=-1)
+    cc = jnp.sum(dx * dx, axis=-1) - cr * cr
+    disc = bb * bb - 4.0 * aa * cc
+    ok = mutual & (aa > 0.0) & (disc >= 0.0) & (cc < 0.0)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    a_safe = jnp.where(aa == 0.0, 1.0, aa)
+    t = jnp.maximum((-bb + sq) / (2.0 * a_safe),
+                    (-bb - sq) / (2.0 * a_safe))
+    qa = pos_a - vel_a * t[:, None]
+    qb = pos_b - vel_b * t[:, None]
+    normal = (qb - qa) / cr
+    p_scal = jnp.sum(dv * normal, axis=-1)
+    new_vel_a = vel_a - p_scal[:, None] * normal
+    new_vel_b = vel_b + p_scal[:, None] * normal
+    new_pos_a = qa + new_vel_a * t[:, None]
+    new_pos_b = qb + new_vel_b * t[:, None]
+
+    ea_s = jnp.where(ok, ea, n)   # scatter target n+ drops below
+    eb_s = jnp.where(ok, eb, n)
+
+    # Per-particle event fields (duplicate entries write identical
+    # values, so .set scatters are idempotent).
+    mask_n = jnp.zeros((n,), jnp.bool_)
+    mask_n = mask_n.at[ea_s].set(True, mode="drop")
+    mask_n = mask_n.at[eb_s].set(True, mode="drop")
+    t_n = jnp.zeros((n,), dtype)
+    t_n = t_n.at[ea_s].set(t, mode="drop")
+    t_n = t_n.at[eb_s].set(t, mode="drop")
+
+    # Measurement BEFORE the state update (pre-collision velocity/paths).
+    measure = measure_ops.record_completed(
+        measure, state.paths, state.has_collided, state.vel, t_n, mask_n,
+        num_bins, hist_hi,
+    )
+
+    state.pos = state.pos.at[ea_s].set(new_pos_a, mode="drop")
+    state.pos = state.pos.at[eb_s].set(new_pos_b, mode="drop")
+    state.vel = state.vel.at[ea_s].set(new_vel_a, mode="drop")
+    state.vel = state.vel.at[eb_s].set(new_vel_b, mode="drop")
+    state = measure_ops.end_paths(state, mask_n, t_n, state.vel,
+                                  zero_residual=False)
+
+    n_collisions = jnp.sum(mask_n, dtype=jnp.int32) // 2
+    measure.collision_count = measure.collision_count + n_collisions
+    measure.overflow_count = measure.overflow_count + ev_dropped
+    return state, measure, n_collisions, mask_n
+
+
+def research_dirty(
+    state: ParticleState,
+    pairs: PairList,
+    dirty_idx: jnp.ndarray,        # (E,) int32, sentinel >= n
+    bump: jnp.ndarray,             # (N,) bool: speed actually changed
+    grid: collide.DeviceGrid,
+    pcfg: PairConfig,
+    cr: float,
+    dt: float,
+):
+    """Re-search dirty particles against the rebuild-time planes.
+
+    Radius: reach_now(i) + reach0(j), where reach0 rides in mega0's 6th
+    plane.  For this to stay a valid bound after SPEED CHANGES, every
+    speed-changed particle's own stored reach0 is bumped in place by its
+    new full-window allowance (|v_new| K dt): by induction, whenever any
+    particle re-searches, every candidate's stored reach still bounds
+    its displacement from the stored position (each past speed change
+    re-searched with the then-current invariant AND restored it).
+    Teleported / reach-clipped particles break the position bound
+    entirely and are instead kept in the HOT set (re-searched with fresh
+    position every step), closing coverage exactly.
+
+    Returns (pairs, coverage_lost).
+    """
+    n = state.pos.shape[0]
+    cap = grid.capacity
+    e = dirty_idx.shape[0]
+    valid = dirty_idx < n
+    safe = jnp.where(valid, dirty_idx, 0)
+    pos_i = state.pos[safe]
+    vel_i = state.vel[safe]
+    max_reach = 0.5 * grid.cell_size
+    reach_i, clipped_i = reach_radii(vel_i, cr, dt, pcfg.rebuild_interval,
+                                     max_reach)
+    pairs.hot = pairs.hot.at[safe].set(
+        pairs.hot[safe] | (valid & clipped_i), mode="drop"
+    )
+
+    # In-place reach bump for speed-changed particles: reach0 +=
+    # |v_new| K dt (additive: old segment covered by the old value, new
+    # segment by the increment).  Clip -> hot.
+    bump_i = valid & bump[safe]
+    rows_b = pairs.pslot0[safe] // cap
+    cols_b = 5 * cap + pairs.pslot0[safe] % cap
+    flat0 = pairs.mega0.reshape(-1)
+    stride = pairs.mega0.shape[1]
+    tgt = jnp.where(bump_i, rows_b * stride + cols_b, flat0.shape[0])
+    old_reach = flat0[jnp.clip(tgt, 0, flat0.shape[0] - 1)]
+    inc = (reach_i - 0.5 * cr)  # |v_new| K dt (possibly clipped)
+    new_reach = jnp.minimum(old_reach + inc, max_reach)
+    newly_clipped = bump_i & (old_reach + inc > max_reach)
+    pairs.mega0 = flat0.at[tgt].set(new_reach, mode="drop").reshape(
+        pairs.mega0.shape
+    )
+    pairs.hot = pairs.hot.at[safe].set(
+        pairs.hot[safe] | newly_clipped, mode="drop"
+    )
+
+    cid = collide.assign_cells(pos_i, grid)
+    nbr = grid.neighbors[cid]                      # (E, 27)
+    rows = pairs.mega0[nbr]                        # (E, 27, 6*cap)
+    w = 27 * cap
+
+    def plane(k):
+        return rows[:, :, k * cap:(k + 1) * cap].reshape(e, w)
+
+    cx, cy, cz = plane(0), plane(1), plane(2)
+    if state.pos.dtype == jnp.float32:
+        cix = jax.lax.bitcast_convert_type(plane(4), jnp.int32)
+    else:
+        cix = plane(4).astype(jnp.int32)
+    cr0 = plane(5)
+
+    dx = pos_i[:, 0][:, None] - cx
+    dy = pos_i[:, 1][:, None] - cy
+    dz = pos_i[:, 2][:, None] - cz
+    d2 = dx * dx + dy * dy + dz * dz
+    thresh = reach_i[:, None] + cr0
+    hit = (d2 < thresh * thresh) & (cix != dirty_idx[:, None]) \
+        & valid[:, None] & (cix >= 0) & (cix < n)
+
+    # Top-k lowest-index candidates per dirty particle.
+    masked = jnp.where(hit, cix, INT_BIG)
+    cands = []
+    prev = None
+    for _ in range(pcfg.research_top_k):
+        if prev is not None:
+            masked = jnp.where(masked > prev[:, None], masked, INT_BIG)
+        prev = jnp.min(masked, axis=-1)
+        cands.append(prev)
+    cands = jnp.stack(cands, axis=-1)              # (E, RK)
+    res_overflow = jnp.sum(
+        (cands[:, -1] < INT_BIG) & valid, dtype=jnp.int32
+    )
+
+    # Append as (i, c) entries at the cursor (order irrelevant:
+    # test_and_resolve treats entries symmetrically, duplicates are
+    # idempotent).
+    ok = cands < INT_BIG
+    flat_ok = ok.reshape(-1)
+    erk = e * pcfg.research_top_k
+    (sel,) = jnp.nonzero(flat_ok, size=pcfg.append_capacity,
+                         fill_value=erk)
+    sel_ok = sel < erk
+    sel_safe = jnp.where(sel_ok, sel, 0)
+    new_a = jnp.where(
+        sel_ok, dirty_idx[sel_safe // pcfg.research_top_k], n
+    ).astype(jnp.int32)
+    new_b = jnp.where(sel_ok, cands.reshape(-1)[sel_safe], n).astype(
+        jnp.int32
+    )
+    n_new = jnp.minimum(
+        jnp.sum(flat_ok, dtype=jnp.int32), pcfg.append_capacity
+    )
+    app_dropped = jnp.maximum(
+        jnp.sum(flat_ok, dtype=jnp.int32) - pcfg.append_capacity, 0
+    )
+
+    m_cap = pairs.a.shape[0]
+    # Ring-free bump append: entries past capacity are dropped+counted.
+    write_pos = pairs.cursor + jnp.arange(pcfg.append_capacity,
+                                          dtype=jnp.int32)
+    in_cap = (write_pos < m_cap) & (jnp.arange(
+        pcfg.append_capacity, dtype=jnp.int32) < n_new)
+    tgt = jnp.where(in_cap, write_pos, m_cap)      # m_cap -> dropped
+    pairs.a = pairs.a.at[tgt].set(jnp.where(in_cap, new_a, n),
+                                  mode="drop")
+    pairs.b = pairs.b.at[tgt].set(jnp.where(in_cap, new_b, n),
+                                  mode="drop")
+    cap_dropped = jnp.sum(
+        (jnp.arange(pcfg.append_capacity, dtype=jnp.int32) < n_new)
+        & ~in_cap, dtype=jnp.int32)
+    pairs.cursor = jnp.minimum(pairs.cursor + n_new, m_cap)
+    pairs.overflow = (pairs.overflow + res_overflow + app_dropped
+                      + cap_dropped)
+    # Any truncation here is a potential coverage hole; the engine
+    # forces a full rebuild on the next step when this fires.
+    lost = (res_overflow + app_dropped + cap_dropped) > 0
+    return pairs, lost
+
+
+def default_pair_config(n: int, rebuild_interval: int) -> PairConfig:
+    """Capacity heuristics at ambient argon density.
+
+    In-reach candidate expectation per particle is ~0.4 at K=8 (pair
+    radius ~1.5 nm), so N//4 pair slots (~3x the expectation, plus the
+    append region) are generous.  Dirty/event/append traffic scales with
+    N (collisions + energized wall hits per step), so those buffers
+    scale too.  top_k=8: the hot set (full-emission particles) measured
+    2,257 at top_k=4 / 1M particles -- fast particles have inflated
+    reach and regularly exceed 4 in-reach neighbours -- which overflowed
+    the per-step research appends and forced a rebuild storm; at 8 the
+    velocity-tail expectation puts full emission at the 1e-5 level.
+    Every capacity breach is still counted in ``PairList.overflow`` and
+    forces a rebuild, never a silent loss.
+    """
+    research = max(4096, n // 256)
+    append = 2 * research
+    return PairConfig(
+        rebuild_interval=rebuild_interval,
+        pair_capacity=max(n // 4, 4096) + rebuild_interval * append,
+        event_capacity=max(8192, n // 256),
+        research_capacity=research,
+        research_top_k=12,
+        # 2x headroom: the one-shot post-rebuild research of full-
+        # emission particles appends in a burst.
+        append_capacity=append,
+        top_k=5,
+    )

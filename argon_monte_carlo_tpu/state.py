@@ -91,6 +91,10 @@ class Measurements:
     err_count: jax.Array
     overflow_count: jax.Array
     halo_trunc_count: jax.Array
+    # Events beyond the histogram flush's fixed compaction buffer
+    # (ops/measure.FLUSH_CAPACITY) -- dropped from the binned histogram
+    # only, never from the exact sums.  Zero in every observed workload.
+    hist_drop_count: jax.Array
     # Step-transient staging area for completed-path binning: each event
     # writes its (4,) path values here and ONE scatter per step flushes
     # them into `hist` (10 per-case scatters were ~30% of the step time
@@ -112,6 +116,7 @@ class Measurements:
             err_count=jnp.zeros((), jnp.int32),
             overflow_count=jnp.zeros((), jnp.int32),
             halo_trunc_count=jnp.zeros((), jnp.int32),
+            hist_drop_count=jnp.zeros((), jnp.int32),
             pending_vals=jnp.zeros((num_particles, NUM_PATH_AXES), dtype),
             pending_mask=jnp.zeros((num_particles,), jnp.bool_),
         )
@@ -142,3 +147,10 @@ class StepMetrics:
     # Open_Air_Pore_MC.py:11).
     missed_cases: jax.Array  # (10,) int32
     nonfinite: jax.Array     # () int32
+    # Verlet pair-list observability (narrowphase="pairs"; zeros in
+    # sweep mode): did this step run a full rebuild, and how many
+    # particles were dirty-researched.
+    rebuilt: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))
+    dirty_count: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))

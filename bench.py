@@ -19,7 +19,8 @@ import sys
 import time
 
 BENCH_PARTICLES = int(os.environ.get("BENCH_PARTICLES", 1_000_000))
-WARMUP_STEPS = int(os.environ.get("BENCH_WARMUP_STEPS", 20))
+# One full epoch so the timed phase reuses the compiled 50-step scan.
+WARMUP_STEPS = int(os.environ.get("BENCH_WARMUP_STEPS", 50))
 TIMED_STEPS = int(os.environ.get("BENCH_STEPS", 100))
 NORTH_STAR = 1e9  # particle-steps/sec/chip (BASELINE.json north_star)
 
@@ -30,11 +31,16 @@ def main() -> int:
     import argon_monte_carlo_tpu as amc
 
     eng = amc.EngineConfig(
-        dtype="float32", broadphase="cells", steps_per_epoch=20,
+        dtype="float32", broadphase="cells", steps_per_epoch=50,
         # Exact histogram semantics: benchmark the same program the
         # parity/golden runs validate (hist_flush_interval=1 measured
         # within noise of the lossy interval-8 variant on TPU).
         hist_flush_interval=1,
+        # Verlet reach-pair narrow phase (ops/pairs.py): bitwise-equal
+        # trajectories to the per-step sweep (tests/test_pairs.py), the
+        # full neighbour sweep amortized over 8 steps.
+        narrowphase=os.environ.get("BENCH_NARROWPHASE", "pairs"),
+        rebuild_interval=int(os.environ.get("BENCH_REBUILD_INTERVAL", 8)),
     )
     cfg = amc.temperature_pore_config(engine=eng).scaled_to(BENCH_PARTICLES)
     n = cfg.num_molecules
@@ -60,18 +66,31 @@ def main() -> int:
     print(f"bench: warmup (incl. compile) {time.time()-t0:.1f}s",
           file=sys.stderr)
 
-    t0 = time.time()
-    state, measure, metrics = sim.run(
-        num_steps=TIMED_STEPS, state=state, measure=measure, run_key=key,
-        start_step=WARMUP_STEPS,
-    )
-    # Force a device->host pull: in this environment block_until_ready
-    # can return before the tunneled device actually finishes, which
-    # once inflated the reported throughput 16x.
-    checksum = float(state.pos[:, 2].sum())
-    elapsed = time.time() - t0
+    # Time each epoch with a full device->host sync (a scalar pull; in
+    # this environment block_until_ready can return before the tunneled
+    # device finishes, which once inflated throughput 16x) and report
+    # the MEDIAN epoch: single-epoch wall times through the tunnel vary
+    # up to 3x run-to-run (observed 10.4s vs 3.7s for identical epochs).
+    spe = eng.steps_per_epoch
+    n_epochs = max(TIMED_STEPS // spe, 1)
+    epoch_times = []
+    step0 = WARMUP_STEPS
+    t_all = time.time()
+    for e in range(n_epochs):
+        t0 = time.time()
+        state, measure, metrics = sim.run(
+            num_steps=spe, state=state, measure=measure, run_key=key,
+            start_step=step0,
+        )
+        checksum = float(state.pos[:, 2].sum())
+        epoch_times.append(time.time() - t0)
+        step0 += spe
+        print(f"bench: epoch {e}: {epoch_times[-1]:.2f}s "
+              f"({n*spe/epoch_times[-1]:.3g} ps/s)", file=sys.stderr)
+    elapsed = time.time() - t_all
+    median = sorted(epoch_times)[len(epoch_times) // 2]
 
-    value = n * TIMED_STEPS / elapsed
+    value = n * spe / median
     result = {
         "metric": "particle-steps/sec/chip (Temperature_Pore, "
                   f"{BENCH_PARTICLES} particles)",
@@ -79,9 +98,11 @@ def main() -> int:
         "unit": "particle-steps/sec/chip",
         "vs_baseline": value / NORTH_STAR,
         "particles": n,
-        "timed_steps": TIMED_STEPS,
+        "timed_steps": n_epochs * spe,
         "elapsed_sec": elapsed,
-        "steps_per_sec": TIMED_STEPS / elapsed,
+        "epoch_times_sec": [round(t, 3) for t in epoch_times],
+        "median_epoch_sec": round(median, 3),
+        "steps_per_sec": value / n,
         "collisions": int(sim.finalize_measure(measure).collision_count),
         "checksum": checksum,
         "device": jax.devices()[0].device_kind,

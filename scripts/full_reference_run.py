@@ -31,6 +31,9 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=20000)
     ap.add_argument("--out", type=str, default="runs/full_temperature_pore")
     ap.add_argument("--reference-dir", type=str, default="/root/reference")
+    ap.add_argument("--narrowphase", default="pairs",
+                    choices=["sweep", "pairs"])
+    ap.add_argument("--rebuild-interval", type=int, default=8)
     args = ap.parse_args()
 
     import jax
@@ -40,15 +43,29 @@ def main() -> int:
     from argon_monte_carlo_tpu.io import writers
 
     cfg = amc.temperature_pore_config(
-        engine=amc.EngineConfig(dtype="float32", broadphase="cells",
-                                steps_per_epoch=200),
+        engine=amc.EngineConfig(
+            dtype="float32", broadphase="cells", steps_per_epoch=200,
+            narrowphase=args.narrowphase,
+            rebuild_interval=(args.rebuild_interval
+                              if args.narrowphase == "pairs" else 1),
+        ),
     )
     os.makedirs(args.out, exist_ok=True)
     sim = amc.Simulation(amc.make_workload(cfg))
     n = cfg.num_molecules
-    print(f"full run: N={n} steps={args.steps}", file=sys.stderr)
+    print(f"full run: N={n} steps={args.steps} "
+          f"narrowphase={args.narrowphase}", file=sys.stderr)
     t0 = time.time()
-    state, measure, metrics = sim.run(num_steps=args.steps)
+    done = [0]
+
+    def progress(em):
+        done[0] += int(em.momentum_z.shape[0])
+        el = time.time() - t0
+        print(f"  {done[0]}/{args.steps} steps, {el/60:.1f} min, "
+              f"{done[0]*n/el:.3e} ps/s", file=sys.stderr, flush=True)
+
+    state, measure, metrics = sim.run(num_steps=args.steps,
+                                      epoch_callback=progress)
     # Host pull forces true completion (tunnel block_until_ready can
     # return early; see bench.py).
     float(state.pos[:, 2].sum())
@@ -72,13 +89,18 @@ def main() -> int:
     report = {
         "elapsed_min": elapsed / 60.0,
         "particle_steps_per_sec": args.steps * n / elapsed,
+        "narrowphase": args.narrowphase,
         "mean_free_path": stats.mean_free_path,
+        "analytic_lambda": cfg.physics.lambda_mfp,
+        "mfp_over_lambda": stats.mean_free_path
+        / cfg.physics.lambda_mfp,
         "mean_xyz": [stats.mean_x_free_path, stats.mean_y_free_path,
                      stats.mean_z_free_path],
         "completed_paths": stats.num_completed_paths,
         "collisions": int(measure.collision_count),
         "errs": int(measure.err_count),
         "overflow": int(measure.overflow_count),
+        "hist_drops": int(getattr(measure, "hist_drop_count", 0)),
     }
     from argon_monte_carlo_tpu.io.writers import read_reference_histogram
 
@@ -94,6 +116,10 @@ def main() -> int:
         else:
             corr = float("nan")
         report[f"hist_{name}_corr_vs_reference"] = corr
+        denom = max(float(np.abs(ref).sum()), 1e-30)
+        report[f"hist_{name}_l1_vs_reference"] = float(
+            np.abs(ours - ref).sum() / denom
+        )
     print(json.dumps(report))
     with open(os.path.join(args.out, "report.json"), "w") as f:
         json.dump(report, f, indent=2)

@@ -1,0 +1,107 @@
+"""Verlet reach-pair engine (ops/pairs.py) vs the per-step sweep engine.
+
+The pair list is a superset of every possible collision pair between
+rebuilds (reach bound + dirty re-search; module docstring), and the
+per-entry resolve is algebraically the same IEEE expression as the
+per-particle form, so trajectories must match the sweep engine BITWISE
+-- the strongest possible equivalence test (SURVEY.md section 7
+"Sequential collision semantics", VERDICT r1 items 5/7).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import argon_monte_carlo_tpu as amc
+from argon_monte_carlo_tpu.ops import collide, pairs as pairs_ops
+
+
+def run_both(n=3000, steps=15, k=5, seed=None, energized=True):
+    eng_s = amc.EngineConfig(dtype="float64", broadphase="cells",
+                             steps_per_epoch=4, narrowphase="sweep")
+    kwargs = dict(num_particles_override=n)
+    if seed is not None:
+        kwargs["seed"] = seed
+    mk = (amc.temperature_pore_config if energized else amc.PoreConfig)
+    cfg_s = mk(engine=eng_s, **kwargs)
+    sim_s = amc.Simulation(amc.make_workload(cfg_s))
+    st_s, m_s, _ = sim_s.run(num_steps=steps)
+
+    eng_p = dataclasses.replace(eng_s, narrowphase="pairs",
+                                rebuild_interval=k)
+    cfg_p = mk(engine=eng_p, **kwargs)
+    sim_p = amc.Simulation(amc.make_workload(cfg_p))
+    st_p, m_p, _ = sim_p.run(num_steps=steps)
+    return (st_s, m_s), (st_p, m_p)
+
+
+def test_pairs_matches_sweep_bitwise_energized():
+    """Temperature pore: energized walls exercise the dirty re-search."""
+    (st_s, m_s), (st_p, m_p) = run_both(energized=True)
+    assert int(m_s.collision_count) == int(m_p.collision_count)
+    np.testing.assert_array_equal(np.asarray(st_s.pos), np.asarray(st_p.pos))
+    np.testing.assert_array_equal(np.asarray(st_s.vel), np.asarray(st_p.vel))
+    np.testing.assert_array_equal(np.asarray(st_s.paths),
+                                  np.asarray(st_p.paths))
+    np.testing.assert_array_equal(np.asarray(m_s.hist), np.asarray(m_p.hist))
+    np.testing.assert_array_equal(np.asarray(m_s.path_sum),
+                                  np.asarray(m_p.path_sum))
+    # Pair collisions must actually have happened for this to mean much.
+    assert int(m_p.collision_count) > 0
+
+
+def test_pairs_matches_sweep_bitwise_specular():
+    """Pore v1 (specular): wall hits preserve speed -> no wall dirt."""
+    (st_s, m_s), (st_p, m_p) = run_both(energized=False, steps=12, k=4)
+    np.testing.assert_array_equal(np.asarray(st_s.pos), np.asarray(st_p.pos))
+    np.testing.assert_array_equal(np.asarray(st_s.vel), np.asarray(st_p.vel))
+    assert int(m_s.collision_count) == int(m_p.collision_count)
+
+
+def test_pairs_no_overflow_and_rebuild_cadence():
+    (_, _), (st_p, m_p) = run_both(steps=11, k=4)
+    # All capacity/coverage diagnostics must be silent at this scale.
+    assert int(m_p.overflow_count) == 0
+    assert bool(np.isfinite(np.asarray(st_p.pos)).all())
+
+
+def test_reach_radii_bound():
+    vel = jnp.asarray([[100.0, 0.0, 0.0], [0.0, 3000.0, 0.0]])
+    cr, dt, k = 3.385e-10, 1.85e-13, 8
+    reach, clipped = pairs_ops.reach_radii(vel, cr, dt, k, 1.0e-9)
+    assert float(reach[0]) == 0.5 * cr + 100.0 * dt * k
+    assert not bool(clipped[0])
+    # The fast particle clips at max_reach and is flagged hot.
+    assert float(reach[1]) == 1.0e-9
+    assert bool(clipped[1])
+
+
+def test_candidate_search_topk_superset():
+    """top_k=4 column 0 equals the k=1 partner search; extra columns are
+    ascending and only appear for genuinely multi-candidate particles."""
+    key = jax.random.PRNGKey(3)
+    n = 4000
+    eng = amc.EngineConfig(dtype="float64", broadphase="cells")
+    cfg = amc.temperature_pore_config(num_particles_override=n, engine=eng)
+    wl = amc.make_workload(cfg)
+    from argon_monte_carlo_tpu.engine import build_grids
+
+    _, dgrid = build_grids(wl)
+    state = wl.init_fn(key)
+    sr = cfg.physics.collision_range * 60.0  # inflate for multi-candidates
+
+    partner, _ = collide.cell_partner_search(state.pos, dgrid, sr)
+    cands, _, _ = collide.cell_candidate_search(
+        state.pos, dgrid, sr, top_k=4
+    )
+    np.testing.assert_array_equal(np.asarray(partner),
+                                  np.asarray(cands[:, 0]))
+    c = np.asarray(cands)
+    multi = (c[:, 1] >= 0)
+    assert multi.sum() > 10  # the inflated radius must exercise top-k
+    valid = c[:, 1:][multi]
+    prev = c[:, :-1][multi]
+    ok = (valid < 0) | (valid > prev)
+    assert ok.all()

@@ -17,10 +17,13 @@ Usage (TPU host): python scripts/full_reference_run.py [--steps 20000]
 
 from __future__ import annotations
 
+import sys
+
+sys.path.insert(0, ".")
+
 import argparse
 import json
 import os
-import sys
 import time
 
 import numpy as np

@@ -269,6 +269,28 @@ def make_step_fn(workload: Workload, device_grid=None, host_grid=None):
     return step
 
 
+def pairs_config_for(workload: Workload):
+    """PairConfig for a workload: capacities sized from the physics.
+
+    lambda(K) = density * 4/3 pi (cr + 2 v_mean K dt)^3 is the expected
+    in-reach candidate count per particle at rebuild (v_mean is the
+    reference's RMS speed -- slightly conservative for capacity).
+    """
+    import math
+
+    from .ops import pairs as pairs_ops
+
+    cfg = workload.cfg
+    physics = cfg.physics
+    k = max(cfg.engine.rebuild_interval, 1)
+    density = cfg.num_molecules / workload.fluid_volume
+    radius = physics.collision_range + 2.0 * physics.v_mean * k * cfg.dt
+    lam = density * (4.0 / 3.0) * math.pi * radius**3
+    return pairs_ops.default_pair_config(
+        cfg.num_molecules, k, pair_expectation=lam
+    )
+
+
 def make_pairs_step_fn(workload: Workload, device_grid, host_grid):
     """Scannable step for the Verlet reach-pair engine (ops/pairs.py).
 
@@ -287,9 +309,7 @@ def make_pairs_step_fn(workload: Workload, device_grid, host_grid):
     cr = physics.collision_range
     if eng.broadphase != "cells":
         raise ValueError("narrowphase='pairs' requires broadphase='cells'")
-    pcfg = pairs_ops.default_pair_config(
-        cfg.num_molecules, max(eng.rebuild_interval, 1)
-    )
+    pcfg = pairs_config_for(workload)
 
     def step(carry, step_index):
         state, measure, base_key, plist = carry
@@ -466,9 +486,7 @@ class Simulation:
             return ()
         from .ops import pairs as pairs_ops
 
-        pcfg = pairs_ops.default_pair_config(
-            self.cfg.num_molecules, max(self.cfg.engine.rebuild_interval, 1)
-        )
+        pcfg = pairs_config_for(self.workload)
         return pairs_ops.PairList.init(
             state.num_particles, self._dgrid, pcfg,
             jnp.dtype(self.cfg.engine.dtype),

@@ -389,14 +389,19 @@ def cell_candidate_search(
 
     px, py, pz = plane(0), plane(1), plane(2)
     pix = table                                        # (num_rows, cap)
-    if ids is None:
-        # Self-exclusion ids == particle indices: reuse the table, with a
-        # distinct sentinel so empty slots never "match" anything.
-        pid = jnp.where(table < n, table, -2)
-    else:
+    has_ids = ids is not None
+    if has_ids:
         pid = jnp.where(
             in_slot, ids.astype(jnp.int32)[src], jnp.int32(-2)
         ).reshape(num_rows, cap)
+    else:
+        # Self-exclusion ids == particle indices: the candidate-index
+        # plane IS the id plane (empty slots hold n and die on the far
+        # sentinel anyway), so no separate plane is packed or gathered
+        # -- the neighbour gathers are bandwidth-bound and the pid plane
+        # was 1/6 of every row.  (The Pallas kernel always worked this
+        # way and bitwise-matches.)
+        pid = pix
     if reach is not None:
         # Empty slots carry the far sentinel as "reach"; the pair test
         # d^2 < (r_i + r_j)^2 against a slot at distance ~1e9 with reach
@@ -417,18 +422,22 @@ def cell_candidate_search(
     group = 5
 
     # All candidate planes packed side by side so each neighbour-cell
-    # access is ONE wide row gather instead of five narrow ones (TPU
+    # access is ONE wide row gather instead of several narrow ones (TPU
     # gather cost is dominated by per-row overhead).  Integer planes ride
     # along bit-cast to f32 (values preserved exactly).
-    planes_list = [
-        px, py, pz,
-        jax.lax.bitcast_convert_type(pid, pos.dtype)
-        if pos.dtype == jnp.float32 else pid.astype(pos.dtype),
-        jax.lax.bitcast_convert_type(pix, pos.dtype)
-        if pos.dtype == jnp.float32 else pix.astype(pos.dtype),
-    ]
+    def as_f(p):
+        if pos.dtype == jnp.float32:
+            return jax.lax.bitcast_convert_type(p, pos.dtype)
+        return p.astype(pos.dtype)
+
+    planes_list = [px, py, pz, as_f(pix)]
+    ix_plane = 3
+    if has_ids:
+        planes_list.append(as_f(pid))
+    id_plane = 4 if has_ids else 3
     if pr is not None:
         planes_list.append(pr)
+        reach_plane = len(planes_list) - 1
     mega = jnp.concatenate(planes_list, axis=1)       # (num_rows, P*cap)
 
     def unpack_int(block_col):
@@ -499,8 +508,8 @@ def cell_candidate_search(
                 )
 
             nx_, ny_, nz_ = part(0), part(1), part(2)
-            nid = unpack_int(part(3))
-            nix = unpack_int(part(4))
+            nix = unpack_int(part(ix_plane))
+            nid = unpack_int(part(id_plane)) if has_ids else nix
             dx = ox[:, :, None] - nx_[:, None, :]
             dy = oy[:, :, None] - ny_[:, None, :]
             dz = oz[:, :, None] - nz_[:, None, :]
@@ -508,7 +517,7 @@ def cell_candidate_search(
             if r2 is not None:
                 in_range = d2 < r2
             else:
-                thresh = orc[:, :, None] + part(5)[:, None, :]
+                thresh = orc[:, :, None] + part(reach_plane)[:, None, :]
                 in_range = d2 < thresh * thresh
             hit = in_range & (nid[:, None, :] != oid[:, :, None])
             masked = jnp.where(hit, nix[:, None, :], int_big)

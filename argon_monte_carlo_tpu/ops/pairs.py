@@ -75,7 +75,8 @@ class PairList:
     b: jax.Array        # (M_cap,) int32
     cursor: jax.Array   # () int32 next append slot
     age: jax.Array      # () int32 steps since rebuild (INT_BIG = force)
-    mega0: jax.Array    # rebuild-time packed planes (rows, 6*cap)
+    mega0: jax.Array    # rebuild-time packed planes (rows, 5*cap):
+                        # x, y, z, particle-index, reach
     pslot0: jax.Array   # (N,) rebuild-time particle->slot map (for the
                         # in-place reach bumps on speed changes)
     hot: jax.Array      # (N,) bool: re-search every step
@@ -92,7 +93,7 @@ class PairList:
             b=jnp.full((pcfg.pair_capacity,), n, jnp.int32),
             cursor=jnp.zeros((), jnp.int32),
             age=jnp.asarray(INT_BIG, jnp.int32),  # rebuild immediately
-            mega0=jnp.zeros((rows, 6 * grid.capacity), dtype),
+            mega0=jnp.zeros((rows, 5 * grid.capacity), dtype),
             pslot0=jnp.zeros((n,), jnp.int32),
             hot=jnp.zeros((n,), jnp.bool_),
             pending1=jnp.zeros((n,), jnp.bool_),
@@ -285,7 +286,7 @@ def research_dirty(
 ):
     """Re-search dirty particles against the rebuild-time planes.
 
-    Radius: reach_now(i) + reach0(j), where reach0 rides in mega0's 6th
+    Radius: reach_now(i) + reach0(j), where reach0 rides in mega0's 5th
     plane.  For this to stay a valid bound after SPEED CHANGES, every
     speed-changed particle's own stored reach0 is bumped in place by its
     new full-window allowance (|v_new| K dt): by induction, whenever any
@@ -317,7 +318,7 @@ def research_dirty(
     # segment by the increment).  Clip -> hot.
     bump_i = valid & bump[safe]
     rows_b = pairs.pslot0[safe] // cap
-    cols_b = 5 * cap + pairs.pslot0[safe] % cap
+    cols_b = 4 * cap + pairs.pslot0[safe] % cap
     flat0 = pairs.mega0.reshape(-1)
     stride = pairs.mega0.shape[1]
     tgt = jnp.where(bump_i, rows_b * stride + cols_b, flat0.shape[0])
@@ -334,7 +335,7 @@ def research_dirty(
 
     cid = collide.assign_cells(pos_i, grid)
     nbr = grid.neighbors[cid]                      # (E, 27)
-    rows = pairs.mega0[nbr]                        # (E, 27, 6*cap)
+    rows = pairs.mega0[nbr]                        # (E, 27, 5*cap)
     w = 27 * cap
 
     def plane(k):
@@ -342,10 +343,10 @@ def research_dirty(
 
     cx, cy, cz = plane(0), plane(1), plane(2)
     if state.pos.dtype == jnp.float32:
-        cix = jax.lax.bitcast_convert_type(plane(4), jnp.int32)
+        cix = jax.lax.bitcast_convert_type(plane(3), jnp.int32)
     else:
-        cix = plane(4).astype(jnp.int32)
-    cr0 = plane(5)
+        cix = plane(3).astype(jnp.int32)
+    cr0 = plane(4)
 
     dx = pos_i[:, 0][:, None] - cx
     dy = pos_i[:, 1][:, None] - cy
@@ -415,26 +416,32 @@ def research_dirty(
     return pairs, lost
 
 
-def default_pair_config(n: int, rebuild_interval: int) -> PairConfig:
+def default_pair_config(n: int, rebuild_interval: int,
+                        pair_expectation: float | None = None
+                        ) -> PairConfig:
     """Capacity heuristics at ambient argon density.
 
-    In-reach candidate expectation per particle is ~0.4 at K=8 (pair
-    radius ~1.5 nm), so N//4 pair slots (~3x the expectation, plus the
-    append region) are generous.  Dirty/event/append traffic scales with
-    N (collisions + energized wall hits per step), so those buffers
-    scale too.  top_k=8: the hot set (full-emission particles) measured
-    2,257 at top_k=4 / 1M particles -- fast particles have inflated
-    reach and regularly exceed 4 in-reach neighbours -- which overflowed
-    the per-step research appends and forced a rebuild storm; at 8 the
-    velocity-tail expectation puts full emission at the 1e-5 level.
+    ``pair_expectation`` is the expected in-reach CANDIDATE count per
+    particle, lambda(K) = density * 4/3 pi (cr + 2 v_mean K dt)^3 (the
+    engine computes it from the workload physics); entries stored are
+    ~lambda/2 per particle and the buffer takes 2x margin.  Dirty/event/
+    append traffic scales with N (collisions + energized wall hits per
+    step).  top_k=5 with full emissions queued for a one-shot re-search:
+    permanent hot membership for full emissions measured 2,257 particles
+    at top_k=4 / 1M (fast particles have inflated reach) and their
+    every-step re-search overflowed the appends into a rebuild storm.
     Every capacity breach is still counted in ``PairList.overflow`` and
     forces a rebuild, never a silent loss.
     """
     research = max(4096, n // 256)
     append = 2 * research
+    if pair_expectation is None:
+        main = n // 4
+    else:
+        main = int(n * pair_expectation)  # lambda/2 entries x 2 margin
     return PairConfig(
         rebuild_interval=rebuild_interval,
-        pair_capacity=max(n // 4, 4096) + rebuild_interval * append,
+        pair_capacity=max(main, n // 4, 4096) + rebuild_interval * append,
         event_capacity=max(8192, n // 256),
         research_capacity=research,
         research_top_k=12,

@@ -197,6 +197,13 @@ class ShardedSimulation:
         self.cfg = workload.cfg
         cfg = self.cfg
         eng = cfg.engine
+        if getattr(eng, "narrowphase", "sweep") == "pairs":
+            raise ValueError(
+                "the sharded engine runs the per-step sweep narrow phase;"
+                " narrowphase='pairs' (Verlet pair list) is single-chip "
+                "for now -- its candidate indices are shard-local and "
+                "would need halo-consistent global ids"
+            )
         physics = cfg.physics
         self.dtype = jnp.dtype(eng.dtype)
 

@@ -88,3 +88,38 @@ def test_residual_after_specular():
     np.testing.assert_allclose(
         np.asarray(st.paths[0]), [10.0, 6.0, 0.0, 8.0]
     )
+
+
+def test_flush_pending_compacted_superset_and_drops():
+    """The shared-compaction flush bins exactly the events covered by
+    event_idx (superset indices fine) and counts crowded-out events in
+    hist_drop_count without touching the exact sums."""
+    import jax.numpy as jnp
+
+    from argon_monte_carlo_tpu.state import Measurements
+
+    n = 64
+    m = Measurements.zeros(200, jnp.float64, num_particles=n)
+    vals = jnp.zeros((n, 4), jnp.float64)
+    for i, v in [(3, 1e-8), (10, 2e-8), (50, 9e-7)]:
+        vals = vals.at[i].set(v)
+    m.pending_vals = vals
+    m.pending_mask = jnp.zeros((n,), bool).at[jnp.asarray([3, 10, 50])].set(True)
+
+    # Superset compaction (extra non-event indices + padding) -> all 3
+    # events binned, no drops.
+    idx = jnp.asarray([0, 3, 7, 10, 50, n, n, n], jnp.int32)
+    m2 = measure_ops.flush_pending_compacted(m, idx, 200, 1e-6)
+    assert int(m2.path_count) == 3
+    assert float(m2.hist.sum()) == 12.0  # 3 events x 4 components
+    assert int(m2.hist_drop_count) == 0
+
+    # Compaction that misses one event -> 1 drop, sums still exact.
+    m = Measurements.zeros(200, jnp.float64, num_particles=n)
+    m.pending_vals = vals
+    m.pending_mask = jnp.zeros((n,), bool).at[jnp.asarray([3, 10, 50])].set(True)
+    idx = jnp.asarray([3, 10, n, n], jnp.int32)
+    m3 = measure_ops.flush_pending_compacted(m, idx, 200, 1e-6)
+    assert int(m3.path_count) == 3          # exact sums see everything
+    assert float(m3.hist.sum()) == 8.0      # only 2 events binned
+    assert int(m3.hist_drop_count) == 1     # one event crowded out

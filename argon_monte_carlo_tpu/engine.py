@@ -286,9 +286,26 @@ def pairs_config_for(workload: Workload):
     density = cfg.num_molecules / workload.fluid_volume
     radius = physics.collision_range + 2.0 * physics.v_mean * k * cfg.dt
     lam = density * (4.0 / 3.0) * math.pi * radius**3
-    return pairs_ops.default_pair_config(
+    pcfg = pairs_ops.default_pair_config(
         cfg.num_molecules, k, pair_expectation=lam
     )
+    # The pair list can only cover collisions when the top-k emission
+    # captures essentially every in-reach candidate.  Workloads whose
+    # per-step drift is large relative to the collision range (the CUBE
+    # stage: dt is 40x the pore's, ~19 collision ranges of drift per
+    # step) blow the in-reach expectation up to ~140 and NO top-k can
+    # cover it -- refusing is the only correct behaviour (measured: 0
+    # of 2 collisions found, 139k overflow).
+    if lam > 0.6 * pcfg.top_k:
+        raise ValueError(
+            f"narrowphase='pairs' cannot cover this workload: expected "
+            f"in-reach candidates/particle lambda(K={k}) = {lam:.1f} "
+            f"exceeds the top-{pcfg.top_k} emission budget (per-step "
+            f"drift {2 * physics.v_mean * cfg.dt / physics.collision_range:.1f} "
+            f"collision ranges). Reduce rebuild_interval or use "
+            f"narrowphase='sweep'."
+        )
+    return pcfg
 
 
 def make_pairs_step_fn(workload: Workload, device_grid, host_grid):

@@ -139,3 +139,20 @@ def test_pairs_checkpoint_resume_bitwise(tmp_path):
     np.testing.assert_array_equal(np.asarray(st_a.pos), np.asarray(st_b.pos))
     np.testing.assert_array_equal(np.asarray(st_a.vel), np.asarray(st_b.vel))
     assert int(m_a.collision_count) == int(m_b.collision_count)
+
+
+def test_pairs_rejects_uncoverable_workload():
+    """The cube's dt is 40x the pore's: per-step drift is ~19 collision
+    ranges, so the in-reach expectation (~140 candidates/particle)
+    cannot be covered by any top-k emission.  The engine must REFUSE --
+    silently finding 0 of the collisions (as a naive run does) would be
+    wrong physics (the cells grid itself is fine: cube cells+sweep
+    bitwise-matches allpairs)."""
+    import pytest
+
+    eng_p = amc.EngineConfig(dtype="float64", broadphase="cells",
+                             steps_per_epoch=4, narrowphase="pairs",
+                             rebuild_interval=4)
+    cfg_p = amc.CubeConfig(num_particles_override=2000, engine=eng_p)
+    with pytest.raises(ValueError, match="cannot cover"):
+        amc.Simulation(amc.make_workload(cfg_p)).run(num_steps=4)

@@ -438,7 +438,10 @@ def default_pair_config(n: int, rebuild_interval: int,
     if pair_expectation is None:
         main = n // 4
     else:
-        main = int(n * pair_expectation)  # lambda/2 entries x 2 margin
+        # Entries stored ~ n*lambda/2; 1.5x margin (overflow forces a
+        # rebuild and is counted, never silent, so the margin trades a
+        # vanishing overflow risk against two M-row gathers per step).
+        main = int(n * pair_expectation * 0.75)
     return PairConfig(
         rebuild_interval=rebuild_interval,
         pair_capacity=max(main, n // 4, 4096) + rebuild_interval * append,

@@ -316,6 +316,23 @@ def make_pairs_step_fn(workload: Workload, device_grid, host_grid):
     recapture -- with the narrow phase evaluated on the candidate list
     and dirty particles (speed changed / teleported / hot) re-searched
     in-step so coverage stays exact between rebuilds.
+
+    The scheduled REBUILD is NOT part of this step: Simulation runs it
+    as a separate jitted program between scan blocks of at most
+    ``rebuild_interval`` steps (pairs_ops.rebuild on pre-drift
+    positions).  Splitting the programs roughly halves each compiled
+    HLO -- the former in-step ``lax.cond`` carried the entire candidate
+    sweep in one branch, and XLA compile time on this environment's
+    remote-compile tunnel grows superlinearly with program size (a 10M-
+    particle single-program compile never finished in 150 min).  Rebuild
+    *timing* never changes trajectories: the pair list is a superset of
+    every possible collision pair for up to K steps after any rebuild
+    and the per-step test is exact (tests/test_pairs.py asserts bitwise
+    equality with the per-step sweep, and checkpoint resume already
+    rebuilds on a shifted cadence).
+
+    Scan xs: (step_index, rebuilt_flag) -- the flag only feeds the
+    ``rebuilt`` diagnostic in StepMetrics.
     """
     from .ops import pairs as pairs_ops
 
@@ -328,20 +345,10 @@ def make_pairs_step_fn(workload: Workload, device_grid, host_grid):
         raise ValueError("narrowphase='pairs' requires broadphase='cells'")
     pcfg = pairs_config_for(workload)
 
-    def step(carry, step_index):
+    def step(carry, xs):
+        step_index, rebuilt_flag = xs
         state, measure, base_key, plist = carry
         key = jax.random.fold_in(base_key, step_index)
-
-        # REBUILD (pre-drift positions; age sentinel forces the first).
-        do_rebuild = plist.age >= pcfg.rebuild_interval
-        plist = jax.lax.cond(
-            do_rebuild,
-            lambda pl: pairs_ops.rebuild(
-                state, device_grid, pcfg, cr, dt, pl
-            ),
-            lambda pl: pl,
-            plist,
-        )
 
         speed_pre = jnp.linalg.norm(state.vel, axis=-1)
 
@@ -450,7 +457,7 @@ def make_pairs_step_fn(workload: Workload, device_grid, host_grid):
             oob_after_pairs=oob_pairs,
             missed_cases=missed,
             nonfinite=nonfinite,
-            rebuilt=do_rebuild.astype(jnp.int32),
+            rebuilt=rebuilt_flag.astype(jnp.int32),
             dirty_count=jnp.sum(dirty, dtype=jnp.int32),
         )
         return (state, measure, base_key, plist), metrics
@@ -475,14 +482,35 @@ class Simulation:
                 "pair-list rebuild sweeps the cell grid)"
             )
         self._aux = None  # PairList carried across epochs (pairs mode)
+        # Steps left before the next scheduled rebuild (pairs mode; the
+        # host schedules rebuilds at scan-block boundaries).
+        self._window_left = 0
+        # Identity of the state object the last run() returned: passing
+        # any OTHER state invalidates the carried pair list (its indices
+        # describe the old trajectory).
+        self._last_state_out = None
 
         if self._pairs_mode:
+            from .ops import pairs as pairs_ops
 
-            def run_epoch(state, measure, base_key, step_indices, dgrid,
-                          aux):
+            pcfg = pairs_config_for(workload)
+            cr = self.cfg.physics.collision_range
+            dt = self.cfg.dt
+
+            def run_rebuild(state, plist, dgrid):
+                return pairs_ops.rebuild(state, dgrid, pcfg, cr, dt,
+                                         plist)
+
+            # A separate jitted program from the step scan: see the
+            # make_pairs_step_fn docstring (compile-size split).
+            self._rebuild_jit = jax.jit(run_rebuild)
+
+            def run_epoch(state, measure, base_key, step_indices,
+                          rebuilt_flags, dgrid, aux):
                 step, _ = make_pairs_step_fn(workload, dgrid, hgrid)
                 (state, measure, _, aux), metrics = jax.lax.scan(
-                    step, (state, measure, base_key, aux), step_indices
+                    step, (state, measure, base_key, aux),
+                    (step_indices, rebuilt_flags),
                 )
                 return state, measure, metrics, aux
 
@@ -510,10 +538,49 @@ class Simulation:
         )
 
     def _run_epoch(self, state, measure, base_key, step_indices):
+        if not self._pairs_mode:
+            state, measure, metrics, self._aux = self._run_epoch_grid(
+                state, measure, base_key, step_indices, self._dgrid,
+                self._aux,
+            )
+            return state, measure, metrics
+
+        # Pairs mode: the epoch is a host loop of scan BLOCKS of at most
+        # rebuild_interval steps, each preceded (when the reach window is
+        # exhausted) by the separately-jitted rebuild program.  Any block
+        # partition with <= K steps per rebuild window yields the exact
+        # same trajectory (see make_pairs_step_fn); the window phase is
+        # carried across epochs so epoch length never forces an early
+        # rebuild.
         if self._aux is None:
             self._aux = self._init_aux(state)
-        state, measure, metrics, self._aux = self._run_epoch_grid(
-            state, measure, base_key, step_indices, self._dgrid, self._aux
+            self._window_left = 0
+        k = max(self.cfg.engine.rebuild_interval, 1)
+        outs = []
+        i, total = 0, int(step_indices.shape[0])
+        while i < total:
+            rebuilt = False
+            if self._window_left <= 0:
+                self._aux = self._rebuild_jit(state, self._aux,
+                                              self._dgrid)
+                self._window_left = k
+                rebuilt = True
+            m = int(min(self._window_left, total - i))
+            import numpy as _np
+
+            flags = _np.zeros((m,), _np.bool_)
+            flags[0] = rebuilt
+            state, measure, metrics, self._aux = self._run_epoch_grid(
+                state, measure, base_key, step_indices[i:i + m], flags,
+                self._dgrid, self._aux,
+            )
+            outs.append(metrics)
+            i += m
+            self._window_left -= m
+        if len(outs) == 1:
+            return state, measure, outs[0]
+        metrics = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs), *outs
         )
         return state, measure, metrics
 
@@ -543,6 +610,12 @@ class Simulation:
             # Fresh particle state invalidates any carried pair list
             # (indices refer to the old state); force a rebuild.
             self._aux = None
+        elif state is not self._last_state_out:
+            # An explicitly-passed state that is NOT the object the last
+            # run() returned (e.g. a loaded checkpoint) invalidates the
+            # carried pair list: its entries/hot set/packed planes
+            # describe the previous trajectory (ADVICE r2).
+            self._aux = None
         spe = self.cfg.engine.steps_per_epoch
         all_metrics = []
         step = start_step
@@ -561,6 +634,7 @@ class Simulation:
             lambda *xs: jnp.concatenate([jnp.atleast_1d(x) for x in xs]),
             *all_metrics,
         ) if all_metrics else None
+        self._last_state_out = state
         return state, measure, stacked
 
     @staticmethod

@@ -19,19 +19,33 @@ import sys
 import time
 
 BENCH_PARTICLES = int(os.environ.get("BENCH_PARTICLES", 1_000_000))
-# One full epoch so the timed phase reuses the compiled 50-step scan.
-WARMUP_STEPS = int(os.environ.get("BENCH_WARMUP_STEPS", 50))
-TIMED_STEPS = int(os.environ.get("BENCH_STEPS", 100))
+# Epoch length: a multiple of the K=8 rebuild interval so the pairs
+# engine compiles exactly ONE scan-block length (engine.py splits each
+# epoch into K-step blocks between separately-jitted rebuilds).
+STEPS_PER_EPOCH = int(os.environ.get("BENCH_SPE", 48))
+WARMUP_STEPS = int(os.environ.get("BENCH_WARMUP_STEPS", STEPS_PER_EPOCH))
+TIMED_STEPS = int(os.environ.get("BENCH_STEPS", 2 * STEPS_PER_EPOCH))
 NORTH_STAR = 1e9  # particle-steps/sec/chip (BASELINE.json north_star)
 
 
 def main() -> int:
     import jax
 
+    # Persistent compile cache: XLA compiles through this environment's
+    # remote-compile tunnel take minutes (1M) to hours (10M); cached
+    # executables load in seconds on repeat runs of the same program.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_CACHE_DIR", "/tmp/jax_argon_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
     import argon_monte_carlo_tpu as amc
 
     eng = amc.EngineConfig(
-        dtype="float32", broadphase="cells", steps_per_epoch=50,
+        dtype="float32", broadphase="cells",
+        steps_per_epoch=STEPS_PER_EPOCH,
         # Exact histogram semantics: benchmark the same program the
         # parity/golden runs validate (hist_flush_interval=1 measured
         # within noise of the lossy interval-8 variant on TPU).
@@ -90,13 +104,17 @@ def main() -> int:
     elapsed = time.time() - t_all
     median = sorted(epoch_times)[len(epoch_times) // 2]
 
+    # Headline = median synced epoch (identical epochs vary up to ~3x
+    # through the TPU tunnel); the elapsed-based sustained aggregate is
+    # reported alongside (ADVICE r2).
     value = n * spe / median
     result = {
-        "metric": "particle-steps/sec/chip (Temperature_Pore, "
-                  f"{BENCH_PARTICLES} particles)",
+        "metric": "particle-steps/sec/chip, median epoch "
+                  f"(Temperature_Pore, {BENCH_PARTICLES} particles)",
         "value": value,
         "unit": "particle-steps/sec/chip",
         "vs_baseline": value / NORTH_STAR,
+        "elapsed_throughput": n * n_epochs * spe / elapsed,
         "particles": n,
         "timed_steps": n_epochs * spe,
         "elapsed_sec": elapsed,

@@ -231,11 +231,20 @@ def make_step_fn(workload: Workload, device_grid=None, host_grid=None):
                 use_pallas=eng.use_pallas_hist,
             )
         else:
+            # Events accumulate across the flush window (one pending
+            # slot per particle), so the compaction width scales with
+            # the interval (ADVICE r2).
+            n_particles = state.pos.shape[0]
+            flush_cap = min(
+                n_particles,
+                measure_ops.FLUSH_CAPACITY * eng.hist_flush_interval,
+            )
             measure = jax.lax.cond(
                 step_index % eng.hist_flush_interval == 0,
                 lambda m: measure_ops.flush_pending(
                     m, eng.num_bins, eng.hist_range[1],
                     use_pallas=eng.use_pallas_hist,
+                    capacity=flush_cap,
                 ),
                 lambda m: m,
                 measure,
@@ -269,12 +278,16 @@ def make_step_fn(workload: Workload, device_grid=None, host_grid=None):
     return step
 
 
-def pairs_config_for(workload: Workload):
+def pairs_config_for(workload: Workload, num_particles: int | None = None):
     """PairConfig for a workload: capacities sized from the physics.
 
     lambda(K) = density * 4/3 pi (cr + 2 v_mean K dt)^3 is the expected
     in-reach candidate count per particle at rebuild (v_mean is the
     reference's RMS speed -- slightly conservative for capacity).
+
+    ``num_particles`` overrides the population the capacities are sized
+    for (the sharded engine passes its per-shard local+ghost lane
+    count; the density -- and therefore lambda -- is global either way).
     """
     import math
 
@@ -287,7 +300,8 @@ def pairs_config_for(workload: Workload):
     radius = physics.collision_range + 2.0 * physics.v_mean * k * cfg.dt
     lam = density * (4.0 / 3.0) * math.pi * radius**3
     pcfg = pairs_ops.default_pair_config(
-        cfg.num_molecules, k, pair_expectation=lam
+        cfg.num_molecules if num_particles is None else num_particles,
+        k, pair_expectation=lam,
     )
     # The pair list can only cover collisions when the top-k emission
     # captures essentially every in-reach candidate.  Workloads whose

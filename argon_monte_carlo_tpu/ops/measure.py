@@ -130,7 +130,8 @@ def flush_pending_compacted(measure: Measurements, event_idx: jnp.ndarray,
 
 def flush_pending(measure: Measurements, num_bins: int,
                   hist_hi: float, use_pallas: bool = False,
-                  compact: bool = True) -> Measurements:
+                  compact: bool = True,
+                  capacity: int | None = None) -> Measurements:
     """Flush all staged events: running sums/counts + one histogram update.
 
     ``compact=True`` (default) first compacts the staged events to a
@@ -141,6 +142,11 @@ def flush_pending(measure: Measurements, num_bins: int,
     gather/scatter) is ~6 ms.  ``compact=False`` keeps the dense scatter
     (used inside shard_map where the event count per shard is the lane
     count anyway, and on CPU).
+
+    ``capacity`` overrides the compaction width (the engine scales it
+    with ``hist_flush_interval``: events accumulate across the flush
+    window, one slot per particle, so a fixed 16K width could drop
+    events a wider window legitimately staged -- ADVICE r2).
 
     ``use_pallas`` is accepted for backward compatibility and ignored
     (the former VMEM compare-reduce histogram kernel was deleted: it
@@ -157,9 +163,10 @@ def flush_pending(measure: Measurements, num_bins: int,
     )
     bin_width = hist_hi / num_bins
     n = measure.pending_vals.shape[0]
-    if compact and n > FLUSH_CAPACITY:
+    cap = FLUSH_CAPACITY if capacity is None else capacity
+    if compact and n > cap:
         (event_idx,) = jnp.nonzero(
-            measure.pending_mask, size=FLUSH_CAPACITY, fill_value=n
+            measure.pending_mask, size=cap, fill_value=n
         )
         valid = event_idx < n
         vals = measure.pending_vals[jnp.where(valid, event_idx, 0)]
@@ -175,7 +182,7 @@ def flush_pending(measure: Measurements, num_bins: int,
         ).reshape(-1)
         n_events = jnp.sum(measure.pending_mask, dtype=jnp.int32)
         measure.hist_drop_count = measure.hist_drop_count + jnp.maximum(
-            n_events - FLUSH_CAPACITY, 0
+            n_events - cap, 0
         )
     else:
         ids = jnp.clip(

@@ -86,14 +86,16 @@ class PairList:
 
     @staticmethod
     def init(n: int, grid: collide.DeviceGrid, pcfg: PairConfig,
-             dtype) -> "PairList":
+             dtype, num_planes: int = 5) -> "PairList":
+        """``num_planes`` is 5 (x,y,z,index,reach) single-chip, 6 with a
+        global-id plane (x,y,z,lane,gid,reach -- the sharded engine)."""
         rows = grid.num_cells + 1
         return PairList(
             a=jnp.full((pcfg.pair_capacity,), n, jnp.int32),
             b=jnp.full((pcfg.pair_capacity,), n, jnp.int32),
             cursor=jnp.zeros((), jnp.int32),
             age=jnp.asarray(INT_BIG, jnp.int32),  # rebuild immediately
-            mega0=jnp.zeros((rows, 5 * grid.capacity), dtype),
+            mega0=jnp.zeros((rows, num_planes * grid.capacity), dtype),
             pslot0=jnp.zeros((n,), jnp.int32),
             hot=jnp.zeros((n,), jnp.bool_),
             pending1=jnp.zeros((n,), jnp.bool_),
@@ -111,14 +113,24 @@ def reach_radii(vel: jnp.ndarray, cr: float, dt: float, k_steps: int,
 
 def rebuild(state: ParticleState, grid: collide.DeviceGrid,
             pcfg: PairConfig, cr: float, dt: float,
-            old: PairList) -> PairList:
-    """Full sweep at per-particle reach -> fresh pair list."""
+            old: PairList, ids: jnp.ndarray | None = None,
+            valid_lanes: jnp.ndarray | None = None,
+            cell_window: tuple | None = None) -> PairList:
+    """Full sweep at per-particle reach -> fresh pair list.
+
+    ``ids``/``valid_lanes``/``cell_window`` are the sharded engine's
+    lane semantics (ops/collide.cell_candidate_search): candidates are
+    emitted as LANE indices, self-exclusion and the keep-one-side
+    entry rule use the global ids, and only the shard's halo-padded
+    cell window is swept.  Single-chip (all None) is unchanged.
+    """
     n = state.pos.shape[0]
     max_reach = 0.5 * grid.cell_size
     reach, clipped = reach_radii(state.vel, cr, dt,
                                  pcfg.rebuild_interval, max_reach)
     cands, cell_overflow, (pslot0, mega0) = collide.cell_candidate_search(
-        state.pos, grid, reach=reach, top_k=pcfg.top_k,
+        state.pos, grid, reach=reach, top_k=pcfg.top_k, ids=ids,
+        valid=valid_lanes, cell_window=cell_window,
     )
     # A full top-k emission means in-reach neighbours may have been
     # dropped; such particles are queued for ONE research_top_k-wide
@@ -131,9 +143,23 @@ def rebuild(state: ParticleState, grid: collide.DeviceGrid,
     # the lower side's list (both sides see the same in-reach relation).
     # Two-stage compaction: first the ~16% of particles owning any
     # entry, then their entries -- a single nonzero over all N*top_k
-    # entry slots measured 70 ms/rebuild at 1M.
-    idx = jnp.arange(n, dtype=jnp.int32)[:, None]
-    valid = (cands >= 0) & (idx < cands)
+    # entry slots measured 70 ms/rebuild at 1M.  With ids, "lower side"
+    # means lower GLOBAL id, so two shards sharing a boundary pair both
+    # keep the same entry (emitted from the lower-gid particle's row,
+    # which lies inside both shards' swept windows).
+    if ids is None:
+        idx = jnp.arange(n, dtype=jnp.int32)[:, None]
+        valid = (cands >= 0) & (idx < cands)
+    else:
+        gid_pad = jnp.concatenate(
+            [ids.astype(jnp.int32), jnp.asarray([INT_BIG], jnp.int32)]
+        )
+        cand_gid = gid_pad[jnp.clip(cands, 0, n)]
+        valid = (cands >= 0) & (gid_pad[:n, None] < cand_gid)
+        if valid_lanes is not None:
+            valid = valid & valid_lanes[:, None]
+            full_mask = full_mask & valid_lanes
+            clipped = clipped & valid_lanes
     m_cap = pcfg.pair_capacity
     has = jnp.any(valid, axis=1)
     (pidx,) = jnp.nonzero(has, size=m_cap, fill_value=n)
@@ -171,6 +197,8 @@ def test_and_resolve(
     num_bins: int,
     hist_hi: float,
     event_capacity: int,
+    ids: jnp.ndarray | None = None,
+    local_mask: jnp.ndarray | None = None,
 ):
     """Exact per-step narrow phase on the listed pairs.
 
@@ -178,6 +206,16 @@ def test_and_resolve(
     rewind / impulse / replay, same lowest-index mutual-match rule, same
     measurement updates) -- but evaluated only on candidate entries.
     Returns (state, measure, n_collisions, collided_mask (N,)).
+
+    Sharded-engine semantics (``ids``/``local_mask`` given): entries
+    index LANES of the shard's combined local+ghost arrays; the mutual
+    match orders partners by GLOBAL id (lane order is shard-relative,
+    so both shards holding a boundary pair must agree on the winner);
+    state updates apply to every lane (ghost mirrors stay bitwise-exact
+    through the step -- the impulse formula is symmetric, so the owner
+    computes the identical values), while measurement and the collision
+    count apply only to local lanes, each pair counted once on the
+    shard owning the lower global id.
     """
     n = state.pos.shape[0]
     m = pairs.a.shape[0]
@@ -209,12 +247,23 @@ def test_and_resolve(
 
     # Lowest-index mutual matching (== sweep-engine partner rule): each
     # particle's choice is its lowest-index overlapping partner; a pair
-    # resolves iff the choice is mutual.
+    # resolves iff the choice is mutual.  With ids, "index" means the
+    # GLOBAL id (shard-consistent); single-chip ids ARE the lanes.
+    if ids is None:
+        key_a, key_b = ea, eb
+    else:
+        gid_pad = jnp.concatenate(
+            [ids.astype(jnp.int32), jnp.asarray([INT_BIG], jnp.int32)]
+        )
+        key_a = gid_pad[ea]
+        key_b = gid_pad[eb]
     choice = jnp.full((n + 1,), INT_BIG, jnp.int32)
-    choice = choice.at[ea].min(jnp.where(evalid, eb, INT_BIG), mode="drop")
-    choice = choice.at[eb].min(jnp.where(evalid, ea, INT_BIG), mode="drop")
-    mutual = evalid & (choice[jnp.clip(ea, 0, n)] == eb) \
-        & (choice[jnp.clip(eb, 0, n)] == ea)
+    choice = choice.at[ea].min(jnp.where(evalid, key_b, INT_BIG),
+                               mode="drop")
+    choice = choice.at[eb].min(jnp.where(evalid, key_a, INT_BIG),
+                               mode="drop")
+    mutual = evalid & (choice[jnp.clip(ea, 0, n)] == key_b) \
+        & (choice[jnp.clip(eb, 0, n)] == key_a)
 
     # Reference collision kernel per entry (Open_Air_Pore_MC.py:181-240),
     # both sides at once; see collide.resolve_collisions for the maths.
@@ -255,10 +304,13 @@ def test_and_resolve(
     t_n = t_n.at[ea_s].set(t, mode="drop")
     t_n = t_n.at[eb_s].set(t, mode="drop")
 
-    # Measurement BEFORE the state update (pre-collision velocity/paths).
+    # Measurement BEFORE the state update (pre-collision velocity/paths);
+    # local lanes only in sharded mode (ghost lanes are measured by
+    # their owner).
+    mask_meas = mask_n if local_mask is None else (mask_n & local_mask)
     measure = measure_ops.record_completed(
-        measure, state.paths, state.has_collided, state.vel, t_n, mask_n,
-        num_bins, hist_hi,
+        measure, state.paths, state.has_collided, state.vel, t_n,
+        mask_meas, num_bins, hist_hi,
     )
 
     state.pos = state.pos.at[ea_s].set(new_pos_a, mode="drop")
@@ -268,7 +320,21 @@ def test_and_resolve(
     state = measure_ops.end_paths(state, mask_n, t_n, state.vel,
                                   zero_residual=False)
 
-    n_collisions = jnp.sum(mask_n, dtype=jnp.int32) // 2
+    if local_mask is None:
+        n_collisions = jnp.sum(mask_n, dtype=jnp.int32) // 2
+    else:
+        # Each pair counted once globally: by the shard owning the
+        # LOWER global id (psum across shards gives the total).  The
+        # partner's gid rides a .set scatter (duplicate entries write
+        # identical values, so the scatter is idempotent and duplicated
+        # research entries cannot double-count).
+        pgid_n = jnp.full((n,), INT_BIG, jnp.int32)
+        pgid_n = pgid_n.at[ea_s].set(key_b, mode="drop")
+        pgid_n = pgid_n.at[eb_s].set(key_a, mode="drop")
+        n_collisions = jnp.sum(
+            mask_n & local_mask & (ids.astype(jnp.int32) < pgid_n),
+            dtype=jnp.int32,
+        )
     measure.collision_count = measure.collision_count + n_collisions
     measure.overflow_count = measure.overflow_count + ev_dropped
     return state, measure, n_collisions, mask_n
@@ -283,6 +349,7 @@ def research_dirty(
     pcfg: PairConfig,
     cr: float,
     dt: float,
+    ids: jnp.ndarray | None = None,
 ):
     """Re-search dirty particles against the rebuild-time planes.
 
@@ -302,6 +369,10 @@ def research_dirty(
     n = state.pos.shape[0]
     cap = grid.capacity
     e = dirty_idx.shape[0]
+    # Plane layout in mega0: [x, y, z, lane(, gid), reach]; the id plane
+    # exists only in sharded mode (ids given).
+    reach_plane = 4 if ids is None else 5
+    id_plane = 4 if ids is not None else None
     valid = dirty_idx < n
     safe = jnp.where(valid, dirty_idx, 0)
     pos_i = state.pos[safe]
@@ -318,7 +389,7 @@ def research_dirty(
     # segment by the increment).  Clip -> hot.
     bump_i = valid & bump[safe]
     rows_b = pairs.pslot0[safe] // cap
-    cols_b = 4 * cap + pairs.pslot0[safe] % cap
+    cols_b = reach_plane * cap + pairs.pslot0[safe] % cap
     flat0 = pairs.mega0.reshape(-1)
     stride = pairs.mega0.shape[1]
     tgt = jnp.where(bump_i, rows_b * stride + cols_b, flat0.shape[0])
@@ -341,19 +412,28 @@ def research_dirty(
     def plane(k):
         return rows[:, :, k * cap:(k + 1) * cap].reshape(e, w)
 
+    def unpack_int(p):
+        if state.pos.dtype == jnp.float32:
+            return jax.lax.bitcast_convert_type(p, jnp.int32)
+        return p.astype(jnp.int32)
+
     cx, cy, cz = plane(0), plane(1), plane(2)
-    if state.pos.dtype == jnp.float32:
-        cix = jax.lax.bitcast_convert_type(plane(3), jnp.int32)
-    else:
-        cix = plane(3).astype(jnp.int32)
-    cr0 = plane(4)
+    cix = unpack_int(plane(3))
+    cr0 = plane(reach_plane)
 
     dx = pos_i[:, 0][:, None] - cx
     dy = pos_i[:, 1][:, None] - cy
     dz = pos_i[:, 2][:, None] - cz
     d2 = dx * dx + dy * dy + dz * dz
     thresh = reach_i[:, None] + cr0
-    hit = (d2 < thresh * thresh) & (cix != dirty_idx[:, None]) \
+    if ids is None:
+        not_self = cix != dirty_idx[:, None]
+    else:
+        # A particle and its ghost copy occupy different lanes; global
+        # ids are the identity (ops/collide.cell_candidate_search).
+        cgid = unpack_int(plane(id_plane))
+        not_self = cgid != ids.astype(jnp.int32)[safe][:, None]
+    hit = (d2 < thresh * thresh) & not_self \
         & valid[:, None] & (cix >= 0) & (cix < n)
 
     # Top-k lowest-index candidates per dirty particle.

@@ -121,3 +121,112 @@ def test_sharded_missed_case_audit_detects_seeded_miss():
     # the reference's audit occasionally prints the same.  Require they
     # stay at the stray level, not systematic.
     assert int(np.asarray(metrics.missed_cases).sum()) <= 5
+
+
+# ---------------------------------------------------------------------------
+# Sharded Verlet reach-pair narrow phase (VERDICT r2 item 3)
+# ---------------------------------------------------------------------------
+
+
+def make_sharded_pairs(n_devices=4, n_particles=3000, energized=True,
+                       k=4, steps_per_epoch=5):
+    eng = EngineConfig(dtype="float64", broadphase="cells",
+                       steps_per_epoch=steps_per_epoch,
+                       narrowphase="pairs", rebuild_interval=k)
+    cfg = amc.temperature_pore_config(
+        num_particles_override=n_particles, engine=eng,
+    ) if energized else amc.PoreConfig(
+        num_particles_override=n_particles, engine=eng,
+    )
+    wl = amc.make_workload(cfg)
+    return cfg, ShardedSimulation(wl, mesh=make_mesh(n_devices))
+
+
+def _gather_by_gid(state, n):
+    st, valid, gid = state
+    v = np.asarray(valid)
+    g = np.asarray(gid)[v]
+    pos = np.asarray(st.pos)[v]
+    vel = np.asarray(st.vel)[v]
+    order = np.argsort(g)
+    assert (g[order] == np.arange(n)).all()
+    return pos[order], vel[order]
+
+
+def test_sharded_pairs_matches_sharded_sweep_bitwise_specular():
+    """Specular pore (RNG-free after init): the sharded pairs engine
+    must reproduce the sharded sweep engine's trajectories bitwise --
+    the pair list is a superset of every collision pair between
+    rebuilds, ghost mirrors are refreshed per step from the owner, and
+    the resolve arithmetic is the identical IEEE expression."""
+    n, steps = 3000, 12
+    cfg_s, sim_s = make_sharded(n_devices=4, n_particles=n,
+                                energized=False)
+    state_s, m_s, _ = sim_s.run(num_steps=steps)
+    cfg_p, sim_p = make_sharded_pairs(n_devices=4, n_particles=n,
+                                      energized=False)
+    state_p, m_p, _ = sim_p.run(num_steps=steps)
+
+    pos_s, vel_s = _gather_by_gid(state_s, n)
+    pos_p, vel_p = _gather_by_gid(state_p, n)
+    np.testing.assert_array_equal(pos_s, pos_p)
+    np.testing.assert_array_equal(vel_s, vel_p)
+    tot_s = sim_s.finalize_measure(m_s)
+    tot_p = sim_p.finalize_measure(m_p)
+    assert int(tot_s.collision_count) == int(tot_p.collision_count)
+    assert int(tot_p.overflow_count) == 0
+
+
+def test_sharded_pairs_energized_statistics_and_conservation():
+    """Energized pore, sharded pairs vs single-chip pairs: particle
+    count exactly preserved, no capacity overflows, collision totals
+    statistically equal (RNG lanes differ), ledger magnitudes agree."""
+    import dataclasses as dc
+
+    n, steps = 6000, 15
+    cfg, sim = make_sharded_pairs(n_devices=4, n_particles=n,
+                                  energized=True, k=5)
+    state, measure, metrics = sim.run(num_steps=steps)
+    st, valid, gid = state
+    assert int(jnp.sum(valid)) == n
+    gids = np.sort(np.asarray(gid)[np.asarray(valid)])
+    np.testing.assert_array_equal(gids, np.arange(n))
+    tot = sim.finalize_measure(measure)
+    assert int(tot.overflow_count) == 0
+    assert int(tot.err_count) == 0
+
+    eng1 = EngineConfig(dtype="float64", broadphase="cells",
+                        steps_per_epoch=5, narrowphase="pairs",
+                        rebuild_interval=5)
+    cfg1 = amc.temperature_pore_config(num_particles_override=n,
+                                       engine=eng1)
+    single = amc.Simulation(amc.make_workload(cfg1))
+    _, m1, met1 = single.run(num_steps=steps)
+    c1, c2 = int(m1.collision_count), int(tot.collision_count)
+    assert abs(c1 - c2) <= 5 * max(np.sqrt(max(c1, c2)), 3.0)
+    e1 = float(met1.energy_cold.sum())
+    e2 = float(metrics.energy_cold.sum())
+    assert np.sign(e1) == np.sign(e2)
+
+
+def test_sharded_capacity_overflow_counters_fire():
+    """Deliberately starve the halo/migration buffers: the engine must
+    COUNT every dropped lane (halo_trunc_count / overflow_count), never
+    lose them silently (VERDICT r2 item 8)."""
+    import dataclasses as dc
+
+    cfg, sim = make_sharded(n_devices=4, n_particles=4000,
+                            energized=True)
+    sim.plan = dc.replace(sim.plan, halo_capacity=2,
+                          migration_capacity=1)
+    sim._build_epoch_fn()
+    # ~0.2 expected crossings per step and face: 40 steps make a
+    # same-step double crossing (the capacity-1 overflow) near-certain.
+    state, measure, metrics = sim.run(num_steps=40)
+    tot = sim.finalize_measure(measure)
+    st, valid, gid = state
+    alive = int(jnp.sum(valid))
+    # Migration drops lose real particles -- and each loss is counted.
+    assert int(tot.halo_trunc_count) > 0
+    assert int(tot.overflow_count) > 0
+    assert alive + int(tot.overflow_count) >= cfg.num_molecules

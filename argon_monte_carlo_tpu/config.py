@@ -242,3 +242,28 @@ def cell_capacity_for(cfg_engine: EngineConfig, physics: GasPhysics,
     occ = density * size**3
     cap = occ + 5.0 * math.sqrt(max(occ, 1.0)) + 4.0
     return int(math.ceil(cap / 8.0) * 8)
+
+
+def pairs_cell_capacity_for(cfg_engine: EngineConfig, physics: GasPhysics,
+                            num_particles: int,
+                            fluid_volume: float) -> int:
+    """Tighter slot count for the PAIRS-rebuild grid (~3.75 sigma).
+
+    The rebuild sweep's VPU cost scales ~cap^2 after 128-lane padding
+    (the candidate axis is group(5) * cap wide: cap=24 fills 120 of 128
+    lanes, cap=32 spills to 256), and the pairs engine can afford a
+    thin Poisson tail because a cell-table spill is ABSORBED: the
+    spilled particle goes hot and re-searches with fresh positions
+    every step (ops/pairs.rebuild), so coverage is preserved where the
+    sweep engine would lose the particle outright.  At reference
+    occupancy 11 this lands on 24 slots (P[Poisson(11) > 24] ~ 2e-4
+    per cell -> a few dozen hot spills per rebuild at 1M particles,
+    well inside the research budget) vs the sweep's 32.
+    """
+    if cfg_engine.cell_capacity is not None:
+        return cfg_engine.cell_capacity
+    density = num_particles / fluid_volume
+    size = _required_cell_size(cfg_engine, physics, density)
+    occ = density * size**3
+    cap = occ + 3.75 * math.sqrt(max(occ, 1.0)) + 1.0
+    return int(math.ceil(cap / 8.0) * 8)

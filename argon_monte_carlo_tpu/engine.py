@@ -104,9 +104,18 @@ def build_grids(workload: Workload):
     cell_size = cell_size_for(
         eng, physics, cfg.num_molecules, workload.fluid_volume
     )
-    capacity = cell_capacity_for(
-        eng, physics, cfg.num_molecules, workload.fluid_volume
-    )
+    if getattr(eng, "narrowphase", "sweep") == "pairs":
+        # Tight capacity: rebuild-time spills go hot (coverage kept),
+        # and the sweep's VPU cost scales ~cap^2 (config helper).
+        from .config import pairs_cell_capacity_for
+
+        capacity = pairs_cell_capacity_for(
+            eng, physics, cfg.num_molecules, workload.fluid_volume
+        )
+    else:
+        capacity = cell_capacity_for(
+            eng, physics, cfg.num_molecules, workload.fluid_volume
+        )
     geom = cfg.geometry
     if hasattr(geom, "total_height"):  # pore
         build = collide.grid_for_pore
@@ -403,6 +412,10 @@ def make_pairs_step_fn(workload: Workload, device_grid, host_grid):
         # re-search them with fresh positions every remaining step.
         plist.hot = plist.hot | recap_w | recap_p
         # pending1: one-shot research of rebuild-time full emissions.
+        # Consuming the queue here means an overlap such a particle
+        # formed THIS step resolves next step (one-step latency vs the
+        # sweep; ADVICE r2) -- counted in metrics.latent_full.
+        latent_full = jnp.sum(plist.pending1, dtype=jnp.int32)
         dirty = bump | plist.hot | plist.pending1
         n = state.pos.shape[0]
 
@@ -448,7 +461,9 @@ def make_pairs_step_fn(workload: Workload, device_grid, host_grid):
         measure.overflow_count = (
             measure.overflow_count + plist.overflow + research_dropped
         )
+        measure.hot_spill_count = measure.hot_spill_count + plist.spill
         plist.overflow = jnp.zeros((), jnp.int32)
+        plist.spill = jnp.zeros((), jnp.int32)
         measure.err_count = measure.err_count + ledger.errs
         measure.collision_count = measure.collision_count + ledger.wall_hits
 
@@ -473,6 +488,8 @@ def make_pairs_step_fn(workload: Workload, device_grid, host_grid):
             nonfinite=nonfinite,
             rebuilt=rebuilt_flag.astype(jnp.int32),
             dirty_count=jnp.sum(dirty, dtype=jnp.int32),
+            latent_full=latent_full,
+            teleports=jnp.sum(recap_w | recap_p, dtype=jnp.int32),
         )
         return (state, measure, base_key, plist), metrics
 

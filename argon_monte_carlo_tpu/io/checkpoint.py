@@ -32,6 +32,7 @@ def save_checkpoint(path: str, state: ParticleState, measure: Measurements,
         overflow_count=np.asarray(measure.overflow_count),
         halo_trunc_count=np.asarray(measure.halo_trunc_count),
         hist_drop_count=np.asarray(measure.hist_drop_count),
+        hot_spill_count=np.asarray(measure.hot_spill_count),
         run_key=np.asarray(run_key),
         step=np.asarray(step),
     )
@@ -64,6 +65,11 @@ def load_checkpoint(path: str):
             # Absent in pre-r2 checkpoints.
             hist_drop_count=jnp.asarray(
                 z["hist_drop_count"] if "hist_drop_count" in z.files
+                else np.zeros((), np.int32)
+            ),
+            # Absent in pre-r3 checkpoints.
+            hot_spill_count=jnp.asarray(
+                z["hot_spill_count"] if "hot_spill_count" in z.files
                 else np.zeros((), np.int32)
             ),
             # Step-transient staging; always empty at epoch boundaries.

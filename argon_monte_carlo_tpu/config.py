@@ -72,14 +72,14 @@ class EngineConfig:
     # events are now compacted before binning (ops/measure.flush_pending),
     # which obsoleted the Pallas compare-reduce histogram kernel.
     use_pallas_hist: bool = False
-    # Narrow-phase sweep implementation: "auto" picks the Pallas
-    # sliding-window kernel (ops/pallas_sweep.py) on TPU when the grid
-    # supports it and falls back to the chunked XLA sweep elsewhere
-    # (CPU tests, sharded engine, degenerate grids); "on"/"off" force.
-    # Default off: the kernel is correct (bitwise-matches the XLA sweep
-    # on the real chip) but its (R, CAP, CAP) inner shape lowers to tiny
-    # per-sublane vector ops and measures 5.5x slower than the XLA sweep
-    # at 200K particles; the rotation-form rewrite will flip this on.
+    # Removed knob kept for config-file compatibility: the Pallas
+    # sliding-window sweep kernel was deleted in round 3 after measuring
+    # 5.5x SLOWER than the chunked XLA gather-sweep on the attached chip
+    # (its (R, CAP, CAP) inner shape lowers to per-sublane vector ops,
+    # and this chip's throttled VPU + cheap gathers invert the usual
+    # cost model).  ARCHITECTURE.md "Pallas post-mortem" records the
+    # measurements and the rotation-form design that would be worth
+    # revisiting on full-ratio hardware.
     use_pallas_sweep: str = "off"
     # Flush staged histogram events every N steps.  1 is exact per the
     # one-pending-slot-per-particle semantics; larger values trade a tiny

@@ -55,38 +55,6 @@ class Workload:
     audit_fn: Optional[Callable] = None
 
 
-def pallas_sweep_intent(eng) -> bool:
-    """Does config + backend ask for the Pallas narrow-phase kernel?"""
-    if eng.broadphase != "cells":
-        return False
-    mode = getattr(eng, "use_pallas_sweep", "off")
-    if mode == "off":
-        return False
-    if mode == "on":
-        return True
-    # auto: TPU backends only (the XLA sweep is the CPU/test path).
-    return jax.default_backend() not in ("cpu",)
-
-
-def resolve_pallas_sweep(eng, host_grid) -> bool:
-    """Decide whether the Pallas kernel drives the sweep on THIS grid.
-
-    The kernel's slot-plane layout is fixed at ``pallas_sweep.CAP``
-    slots/cell, so a grid built with any other capacity always takes the
-    XLA sweep (build_grids builds a CAP grid whenever intent holds)."""
-    if host_grid is None or not pallas_sweep_intent(eng):
-        return False
-    from .ops import pallas_sweep
-
-    supported = (
-        pallas_sweep.grid_supports_pallas(host_grid)
-        and host_grid.capacity == pallas_sweep.CAP
-    )
-    if getattr(eng, "use_pallas_sweep", "off") == "on" and not supported:
-        raise ValueError("grid too degenerate for the Pallas sweep")
-    return supported
-
-
 def build_grids(workload: Workload):
     """Host-build the collision grid; returns (host_grid, device_grid)
     or (None, None) for the all-pairs broad phase.
@@ -124,25 +92,6 @@ def build_grids(workload: Workload):
         build = collide.grid_for_cube
         center = (geom.lx / 2.0, geom.ly / 2.0)
     host_grid = build(geom, cell_size, capacity)
-    if pallas_sweep_intent(eng):
-        from .ops import pallas_sweep
-
-        # The Pallas slot-plane layout is fixed at CAP slots/cell; size
-        # the cells so mean occupancy targets CAP's Poisson budget (all
-        # 32 lanes load-bearing instead of padding).
-        eng_p = dataclasses.replace(
-            eng, cell_occupancy=pallas_sweep.TARGET_OCCUPANCY,
-            cell_capacity=pallas_sweep.CAP,
-        )
-        cell_size_p = cell_size_for(
-            eng_p, physics, cfg.num_molecules, workload.fluid_volume
-        )
-        grid_p = build(geom, cell_size_p, pallas_sweep.CAP)
-        if pallas_sweep.grid_supports_pallas(grid_p):
-            host_grid = grid_p
-        elif getattr(eng, "use_pallas_sweep", "off") == "on":
-            # Forced on: keep the original cell size at CAP slots.
-            host_grid = build(geom, cell_size, pallas_sweep.CAP)
     device_grid = collide.DeviceGrid.from_grid(
         host_grid, jnp.dtype(eng.dtype), center
     )
@@ -180,24 +129,10 @@ def make_step_fn(workload: Workload, device_grid=None, host_grid=None):
     if eng.broadphase == "cells":
         if device_grid is None:
             host_grid, device_grid = build_grids(workload)
-        if host_grid is not None and resolve_pallas_sweep(eng, host_grid):
-            from .ops import pallas_sweep
 
-            plan = pallas_sweep.plan_for_grid(host_grid)
-
-            def table_fn(pos):
-                cid = collide.assign_cells(pos, device_grid)
-                return collide.slot_assignment(cid, device_grid)
-
-            def search(pos):
-                return pallas_sweep.pallas_partner_search(
-                    pos, device_grid, plan, search_radius, table_fn
-                )
-        else:
-
-            def search(pos):
-                return collide.cell_partner_search(pos, device_grid,
-                                                   search_radius)
+        def search(pos):
+            return collide.cell_partner_search(pos, device_grid,
+                                               search_radius)
     elif eng.broadphase == "allpairs":
 
         def search(pos):

@@ -275,9 +275,8 @@ def slot_assignment(cell_id: jnp.ndarray, grid: DeviceGrid):
     """(pslot, overflow) without materializing the cell table.
 
     pslot = cell_id * capacity + rank-within-cell; over-capacity ranks
-    map to ``num_cells * capacity`` (the dummy slot).  The Pallas sweep
-    consumes this directly (ops/pallas_sweep.py); the XLA sweep needs
-    the full table and uses build_cell_table instead.
+    map to ``num_cells * capacity`` (the dummy slot).  The XLA sweep
+    needs the full table and uses build_cell_table instead.
     """
     n = cell_id.shape[0]
     cap = grid.capacity

@@ -17,16 +17,15 @@ from argon_monte_carlo_tpu.utils import profiling
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
 STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-SWEEP = sys.argv[3] if len(sys.argv) > 3 else "off"
-NARROW = sys.argv[4] if len(sys.argv) > 4 else "sweep"
-K = int(sys.argv[5]) if len(sys.argv) > 5 else 8
+NARROW = sys.argv[3] if len(sys.argv) > 3 else "sweep"
+K = int(sys.argv[4]) if len(sys.argv) > 4 else 8
 
 eng = amc.EngineConfig(dtype="float32", broadphase="cells",
-                       steps_per_epoch=STEPS, use_pallas_sweep=SWEEP,
+                       steps_per_epoch=STEPS,
                        narrowphase=NARROW,
                        rebuild_interval=(K if NARROW == "pairs" else 1))
 cfg = amc.temperature_pore_config(engine=eng).scaled_to(N)
-print(f"N={cfg.num_molecules} sweep={SWEEP}", file=sys.stderr)
+print(f"N={cfg.num_molecules} narrow={NARROW}", file=sys.stderr)
 sim = amc.Simulation(amc.make_workload(cfg))
 state, measure, key = sim.init()
 jax.block_until_ready(state.pos)

@@ -103,6 +103,13 @@ def make_config(args):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.dtype == "float64":
+        # Without this, jax silently truncates every array to float32
+        # (the round-3 cube run did exactly that and then hit the CPU
+        # f32 denormal-flush bug this session fixed).
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
     from . import Simulation, make_workload
     from .io import checkpoint as ckpt_io
     from .io import metrics as metrics_io

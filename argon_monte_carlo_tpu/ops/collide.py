@@ -422,11 +422,20 @@ def cell_candidate_search(
 
     # All candidate planes packed side by side so each neighbour-cell
     # access is ONE wide row gather instead of several narrow ones (TPU
-    # gather cost is dominated by per-row overhead).  Integer planes ride
-    # along bit-cast to f32 (values preserved exactly).
+    # gather cost is dominated by per-row overhead).  Integer planes
+    # ride along VALUE-converted to float (exact below 2^24 for f32 /
+    # 2^53 for f64).  NOT bitcast: small int32 bit patterns are f32
+    # DENORMALS, and the XLA CPU backend flushes denormals inside the
+    # fused gather pipeline -- measured 0 of 24,627 indices surviving
+    # the round-trip (TPU preserved them, which is why only CPU+f32
+    # runs silently lost their collisions).
+    if pos.dtype == jnp.float32 and n >= (1 << 24):
+        raise ValueError(
+            f"float32 index planes are exact only below 2^24 rows "
+            f"(n={n}); use float64 or split the index plane"
+        )
+
     def as_f(p):
-        if pos.dtype == jnp.float32:
-            return jax.lax.bitcast_convert_type(p, pos.dtype)
         return p.astype(pos.dtype)
 
     planes_list = [px, py, pz, as_f(pix)]
@@ -440,8 +449,6 @@ def cell_candidate_search(
     mega = jnp.concatenate(planes_list, axis=1)       # (num_rows, P*cap)
 
     def unpack_int(block_col):
-        if pos.dtype == jnp.float32:
-            return jax.lax.bitcast_convert_type(block_col, jnp.int32)
         return block_col.astype(jnp.int32)
 
     # The sweep is chunked over cells so the (chunk, cap, group*cap)
@@ -640,23 +647,24 @@ def resolve_collisions(
 
     # One packed row gather for everything needed from the partner:
     # position, velocity, and the partner's own choice (for the mutual
-    # check).  TPU gathers pay per row, so one 8-wide gather beats three.
-    if state.pos.dtype == jnp.float32:
-        partner_f = jax.lax.bitcast_convert_type(partner, jnp.float32)
-    else:
-        partner_f = partner.astype(state.pos.dtype)
+    # check).  TPU gathers pay per row, so one 8-wide gather beats
+    # three.  The index rides VALUE-converted (exact below 2^24 in
+    # f32), never bitcast: small-int bit patterns are denormals and the
+    # XLA CPU backend flushes them in the gather pipeline (see
+    # cell_candidate_search).
+    if state.pos.dtype == jnp.float32 and n >= (1 << 24):
+        raise ValueError(
+            f"float32 packed partner column is exact only below 2^24 "
+            f"particles (n={n}); use float64"
+        )
+    partner_f = partner.astype(state.pos.dtype)
     pv = jnp.concatenate(
         [state.pos, state.vel, partner_f[:, None]], axis=1
     )
     pv_b = pv[safe_partner]
     pos_b = pv_b[:, :3]
     vel_b = pv_b[:, 3:6]
-    if state.pos.dtype == jnp.float32:
-        partner_of_partner = jax.lax.bitcast_convert_type(
-            pv_b[:, 6], jnp.int32
-        )
-    else:
-        partner_of_partner = pv_b[:, 6].astype(jnp.int32)
+    partner_of_partner = pv_b[:, 6].astype(jnp.int32)
     mutual = has_partner & (partner_of_partner == idx)
     dxv = pos_b - state.pos              # x2 - x1 from "my" perspective
     dvv = state.vel - vel_b              # v1 - v2

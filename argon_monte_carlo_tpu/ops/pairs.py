@@ -453,8 +453,9 @@ def research_dirty(
         return rows[:, :, k * cap:(k + 1) * cap].reshape(e, w)
 
     def unpack_int(p):
-        if state.pos.dtype == jnp.float32:
-            return jax.lax.bitcast_convert_type(p, jnp.int32)
+        # Value conversion, not bitcast (ops/collide.cell_candidate_
+        # search packs planes the same way; bitcast denormals are
+        # flushed by the XLA CPU backend).
         return p.astype(jnp.int32)
 
     cx, cy, cz = plane(0), plane(1), plane(2)
@@ -553,8 +554,34 @@ def default_pair_config(n: int, rebuild_interval: int,
     Every capacity breach is still counted in ``PairList.overflow`` and
     forces a rebuild, never a silent loss.
     """
+    import math
+
+    lam = 0.5 if pair_expectation is None else pair_expectation
+    # lambda-aware top_k (VERDICT r2 weak #7, the K=12 cliff): the
+    # rebuild-time full-emission count is ~ n * P[Poisson(lam) > top_k];
+    # at fixed top_k=5, K=12 (lam ~ 1.0) produced a burst that blew the
+    # one-shot research budget and degenerated into a rebuild storm.
+    # Grow top_k until the expected full emissions fit ~1/4 of the
+    # research budget, and size the research/append buffers for the
+    # burst that remains.
     research = max(4096, n // 256)
-    append = 2 * research
+    top_k = 5
+    def tail(k):  # P[Poisson(lam) >= k]
+        p = math.exp(-lam)
+        cdf = p
+        for i in range(1, k):
+            p *= lam / i
+            cdf += p
+        return max(1.0 - cdf, 0.0)
+    while top_k < 12 and n * tail(top_k + 1) > research / 4:
+        top_k += 1
+    burst = int(n * tail(top_k + 1)) + 64
+    research = max(research, 4 * burst)
+    # The one-shot burst re-searches at research_top_k(12) candidates
+    # each; the r2 K=12 cliff was these appends overflowing and forcing
+    # a rebuild storm, so the append budget covers the worst-case burst
+    # on top of the steady-state allowance.
+    append = 2 * research + 12 * burst
     if pair_expectation is None:
         main = n // 4
     else:
@@ -571,5 +598,5 @@ def default_pair_config(n: int, rebuild_interval: int,
         # 2x headroom: the one-shot post-rebuild research of full-
         # emission particles appends in a burst.
         append_capacity=append,
-        top_k=5,
+        top_k=top_k,
     )

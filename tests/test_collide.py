@@ -157,3 +157,34 @@ def test_grid_covers_domain():
     np.testing.assert_array_equal(
         grid.neighbors[:, 13], np.arange(grid.num_cells)
     )
+
+
+def test_f32_packed_index_planes_roundtrip_on_cpu():
+    """Regression: index planes were once BITCAST into f32 -- small-int
+    bit patterns are denormals and the XLA CPU backend flushes them in
+    the fused gather pipeline, so every CPU float32 run silently found
+    ~zero collisions (the mutual-match indices came back as garbage).
+    Indices now ride value-converted (exact below 2^24).  This f32
+    cells-sweep run must find collisions and match its f64 twin's
+    count exactly (same trajectories at 10-step horizon)."""
+    import dataclasses
+
+    import argon_monte_carlo_tpu as amc
+
+    eng = amc.EngineConfig(dtype="float32", broadphase="cells",
+                           steps_per_epoch=5)
+    cfg = amc.temperature_pore_config(num_particles_override=4000,
+                                      engine=eng)
+    _, m32, _ = amc.Simulation(amc.make_workload(cfg)).run(num_steps=10)
+    assert int(m32.collision_count) > 0
+
+    eng64 = dataclasses.replace(eng, dtype="float64")
+    cfg64 = amc.temperature_pore_config(num_particles_override=4000,
+                                        engine=eng64)
+    _, m64, _ = amc.Simulation(amc.make_workload(cfg64)).run(num_steps=10)
+    # Collision dynamics are chaotic, so after the first f32-rounded
+    # event the trajectories (and counts) drift; the guarded regression
+    # is a ~40x effect (f32 found 2 collisions where f64 found ~500 on
+    # the cube), so a 2x band cleanly separates healthy from broken.
+    c32, c64 = int(m32.collision_count), int(m64.collision_count)
+    assert c64 > 0 and 0.5 <= c32 / c64 <= 2.0, (c32, c64)

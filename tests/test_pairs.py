@@ -19,8 +19,11 @@ from argon_monte_carlo_tpu.ops import collide, pairs as pairs_ops
 
 
 def run_both(n=3000, steps=15, k=5, seed=None, energized=True):
+    # steps_per_epoch == k keeps the pairs engine on ONE scan-block
+    # length (misaligned epochs compile several block lengths; each
+    # extra length is a full XLA compile on the 1-core CPU host).
     eng_s = amc.EngineConfig(dtype="float64", broadphase="cells",
-                             steps_per_epoch=4, narrowphase="sweep")
+                             steps_per_epoch=k, narrowphase="sweep")
     kwargs = dict(num_particles_override=n)
     if seed is not None:
         kwargs["seed"] = seed
@@ -113,28 +116,33 @@ def test_pairs_checkpoint_resume_bitwise(tmp_path):
     resumed trajectory must still match the uninterrupted one bitwise."""
     from argon_monte_carlo_tpu.io import checkpoint as ckpt
 
+    # spe=4 with K=8 keeps every scan block at length 4 (ONE compiled
+    # block program per Simulation); the resume at step 4 is mid-window
+    # for the uninterrupted run (it rebuilt at 0 and would not rebuild
+    # again until 8), so the resumed run's immediate rebuild exercises
+    # the shifted-cadence invariance.
     eng = amc.EngineConfig(dtype="float64", broadphase="cells",
-                           steps_per_epoch=3, narrowphase="pairs",
-                           rebuild_interval=5)
+                           steps_per_epoch=4, narrowphase="pairs",
+                           rebuild_interval=8)
     cfg = amc.temperature_pore_config(num_particles_override=2500,
                                       engine=eng)
     sim = amc.Simulation(amc.make_workload(cfg))
 
-    # Uninterrupted 12 steps.
-    st_a, m_a, _ = sim.run(num_steps=12)
+    # Uninterrupted 8 steps.
+    st_a, m_a, _ = sim.run(num_steps=8)
 
-    # 6 steps -> checkpoint -> fresh Simulation resumes 6 more.
+    # 4 steps -> checkpoint -> fresh Simulation resumes 4 more.
     sim_b = amc.Simulation(amc.make_workload(cfg))
     state, measure, key = sim_b.init()
-    state, measure, _ = sim_b.run(num_steps=6, state=state,
+    state, measure, _ = sim_b.run(num_steps=4, state=state,
                                   measure=measure, run_key=key)
     path = ckpt.save_checkpoint(str(tmp_path / "ck.npz"), state, measure,
-                                key, 6)
+                                key, 4)
     sim_c = amc.Simulation(amc.make_workload(cfg))
     st2, m2, key2, step2 = ckpt.load_checkpoint(path)
-    assert step2 == 6
-    st_b, m_b, _ = sim_c.run(num_steps=6, state=st2, measure=m2,
-                             run_key=key2, start_step=6)
+    assert step2 == 4
+    st_b, m_b, _ = sim_c.run(num_steps=4, state=st2, measure=m2,
+                             run_key=key2, start_step=4)
 
     np.testing.assert_array_equal(np.asarray(st_a.pos), np.asarray(st_b.pos))
     np.testing.assert_array_equal(np.asarray(st_a.vel), np.asarray(st_b.vel))

@@ -129,7 +129,7 @@ def test_sharded_missed_case_audit_detects_seeded_miss():
 
 
 def make_sharded_pairs(n_devices=4, n_particles=3000, energized=True,
-                       k=4, steps_per_epoch=5):
+                       k=4, steps_per_epoch=4):
     eng = EngineConfig(dtype="float64", broadphase="cells",
                        steps_per_epoch=steps_per_epoch,
                        narrowphase="pairs", rebuild_interval=k)
@@ -162,6 +162,8 @@ def test_sharded_pairs_matches_sharded_sweep_bitwise_specular():
     n, steps = 3000, 12
     cfg_s, sim_s = make_sharded(n_devices=4, n_particles=n,
                                 energized=False)
+    # (sweep epochs are 5 steps; the pairs run below uses spe=4 == K so
+    # only one block length compiles -- same physics either way.)
     state_s, m_s, _ = sim_s.run(num_steps=steps)
     cfg_p, sim_p = make_sharded_pairs(n_devices=4, n_particles=n,
                                       energized=False)
@@ -185,7 +187,7 @@ def test_sharded_pairs_energized_statistics_and_conservation():
 
     n, steps = 6000, 15
     cfg, sim = make_sharded_pairs(n_devices=4, n_particles=n,
-                                  energized=True, k=5)
+                                  energized=True, k=5, steps_per_epoch=5)
     state, measure, metrics = sim.run(num_steps=steps)
     st, valid, gid = state
     assert int(jnp.sum(valid)) == n

@@ -38,6 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
                        help="scale the geometry to this molecule count at "
                             "ambient density (pore workloads)")
         w.add_argument("--seed", type=int, default=None)
+        w.add_argument("--steps-per-mft", type=int, default=None,
+                       help="timesteps per mean-free time (reference: "
+                            "cube 25, pores 1000; the cube's 25 leaves "
+                            "~9 collision ranges of drift per step, so "
+                            "overlap detection under-samples crossings "
+                            "-- 1000 resolves them)")
         w.add_argument("--out", type=str, default=".",
                        help="output directory for artifacts")
         w.add_argument("--dtype", choices=["float32", "float64"],
@@ -98,6 +104,8 @@ def make_config(args):
             cfg = cfg.scaled_to(args.target_particles)
     if args.seed is not None:
         cfg = dataclasses.replace(cfg, seed=args.seed)
+    if args.steps_per_mft is not None:
+        cfg = dataclasses.replace(cfg, steps_per_mft=args.steps_per_mft)
     return cfg
 
 

@@ -66,6 +66,9 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=2500)
     ap.add_argument("--ref-log", default=None,
                     help="reference run log (for its printed MFP)")
+    ap.add_argument("--reuse-ours", action="store_true",
+                    help="skip the simulation if <out>/ours already "
+                         "holds artifacts (compare-only rerun)")
     args = ap.parse_args()
 
     import argon_monte_carlo_tpu as amc
@@ -81,26 +84,41 @@ def main() -> int:
 
     geom = PoreGeometry().scaled(args.scale)
     eng = amc.EngineConfig(dtype="float64", broadphase="cells",
-                           steps_per_epoch=50, narrowphase="pairs",
+                           steps_per_epoch=48, narrowphase="pairs",
                            rebuild_interval=8)
     cfg = amc.temperature_pore_config(geometry=geom, engine=eng)
     n = cfg.num_molecules
     print(f"matched golden: scale={args.scale} N={n} steps={args.steps}",
           file=sys.stderr)
 
-    sim = amc.Simulation(amc.make_workload(cfg))
-    state, measure, metrics = sim.run(num_steps=args.steps)
-    measure = sim.finalize_measure(measure)
+    summary_path = os.path.join(ours_dir, "summary.json")
+    if args.reuse_ours and os.path.exists(summary_path):
+        summary = json.load(open(summary_path))
+        our_mfp = summary["mfp_total"]
+    else:
+        sim = amc.Simulation(amc.make_workload(cfg))
+        state, measure, metrics = sim.run(num_steps=args.steps)
+        measure = sim.finalize_measure(measure)
 
-    writers.write_histograms(measure, eng.num_bins, eng.hist_range,
-                             ours_dir)
-    writers.write_momentum_energy_csv(
-        np.asarray(metrics.momentum_z), np.asarray(metrics.energy_cold),
-        np.asarray(metrics.energy_hot),
-        os.path.join(ours_dir, "momentum_energy.csv"),
-    )
-    stats = path_statistics(measure, eng.num_bins, eng.hist_range)
-    our_mfp = stats.mean_free_path
+        writers.write_histograms(measure, eng.num_bins, eng.hist_range,
+                                 ours_dir)
+        writers.write_momentum_energy_csv(
+            np.asarray(metrics.momentum_z),
+            np.asarray(metrics.energy_cold),
+            np.asarray(metrics.energy_hot),
+            os.path.join(ours_dir, "momentum_energy.csv"),
+        )
+        stats = path_statistics(measure, eng.num_bins, eng.hist_range)
+        our_mfp = stats.mean_free_path
+        summary = {
+            "collisions": int(measure.collision_count),
+            "mfp_total": our_mfp,
+            "path_count": int(measure.path_count),
+            "err": int(measure.err_count),
+            "overflow": int(measure.overflow_count),
+        }
+        with open(summary_path, "w") as f:
+            json.dump(summary, f, indent=2)
 
     for name in os.listdir(args.ref_dir):
         if name.startswith("hist_") or name == "momentum_energy.csv":
@@ -111,9 +129,7 @@ def main() -> int:
 
     report = {
         "config": {"scale": args.scale, "steps": args.steps, "n": int(n)},
-        "ours": {"collisions": int(measure.collision_count),
-                 "mfp_total": our_mfp,
-                 "path_count": int(measure.path_count)},
+        "ours": summary,
     }
     corrs, l1s = {}, {}
     for ax in AXES:

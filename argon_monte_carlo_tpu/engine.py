@@ -480,6 +480,46 @@ class Simulation:
                 )
                 return state, measure, metrics, aux
 
+            k_blk = max(self.cfg.engine.rebuild_interval, 1)
+
+            def run_epoch_fused(state, measure, base_key, step_indices,
+                                dgrid, aux):
+                """Whole-window blocks in ONE program: an outer scan of
+                [unconditional rebuild -> inner scan of K steps].  One
+                dispatch covers many blocks -- through this
+                environment's tunnel each dispatch costs up to ~300 ms,
+                so the two-programs-per-block split was dispatch-bound
+                at 1M (engine._run_epoch uses this fused program for
+                every aligned whole-window span and the split programs
+                for tails/huge-N where compile time rules).  No
+                lax.cond anywhere: the rebuild runs exactly at block
+                starts, which is bitwise-identical to any other
+                rebuild cadence (superset + exact per-step test)."""
+                step, _ = make_pairs_step_fn(workload, dgrid, hgrid)
+                blocks = step_indices.reshape(-1, k_blk)
+
+                def block(carry, idx_k):
+                    state, measure, aux = carry
+                    aux = pairs_ops.rebuild(state, dgrid, pcfg, cr, dt,
+                                            aux)
+                    flags = jnp.zeros((k_blk,), jnp.bool_).at[0].set(
+                        True)
+                    (state, measure, _, aux), metrics = jax.lax.scan(
+                        step, (state, measure, base_key, aux),
+                        (idx_k, flags),
+                    )
+                    return (state, measure, aux), metrics
+
+                (state, measure, aux), metrics = jax.lax.scan(
+                    block, (state, measure, aux), blocks
+                )
+                metrics = jax.tree.map(
+                    lambda x: x.reshape((-1,) + x.shape[2:]), metrics
+                )
+                return state, measure, metrics, aux
+
+            self._run_epoch_fused = jax.jit(run_epoch_fused)
+
         else:
 
             def run_epoch(state, measure, base_key, step_indices, dgrid,
@@ -522,9 +562,26 @@ class Simulation:
             self._aux = self._init_aux(state)
             self._window_left = 0
         k = max(self.cfg.engine.rebuild_interval, 1)
+        # The fused whole-window program amortizes per-dispatch tunnel
+        # overhead; above this N its (rebuild + step in one program)
+        # compile time becomes the wall (the 10M path stays split).
+        fused_ok = self.cfg.num_molecules <= 2_000_000
         outs = []
         i, total = 0, int(step_indices.shape[0])
         while i < total:
+            remaining = total - i
+            if (fused_ok and self._window_left <= 0
+                    and remaining >= k):
+                m = (remaining // k) * k
+                state, measure, metrics, self._aux = (
+                    self._run_epoch_fused(
+                        state, measure, base_key,
+                        step_indices[i:i + m], self._dgrid, self._aux,
+                    )
+                )
+                outs.append(metrics)
+                i += m
+                continue
             rebuilt = False
             if self._window_left <= 0:
                 self._aux = self._rebuild_jit(state, self._aux,

@@ -193,3 +193,36 @@ def test_pairs_cell_table_spill_goes_hot_and_stays_exact():
     np.testing.assert_array_equal(np.asarray(st_s.pos), np.asarray(st_p.pos))
     np.testing.assert_array_equal(np.asarray(st_s.vel), np.asarray(st_p.vel))
     assert int(m_s.collision_count) == int(m_p.collision_count)
+
+
+def test_fused_epoch_matches_split_blocks_bitwise():
+    """The fused whole-window program (outer scan of rebuild + K-step
+    inner scan, one dispatch) and the split per-block programs must
+    produce identical trajectories: rebuild cadence is the same, only
+    the dispatch structure differs."""
+    n, k, steps = 2000, 5, 20
+    eng = amc.EngineConfig(dtype="float64", broadphase="cells",
+                           steps_per_epoch=2 * k, narrowphase="pairs",
+                           rebuild_interval=k)
+    cfg = amc.temperature_pore_config(num_particles_override=n,
+                                      engine=eng)
+    sim_f = amc.Simulation(amc.make_workload(cfg))
+    assert cfg.num_molecules <= 2_000_000  # fused path active
+    st_f, m_f, met_f = sim_f.run(num_steps=steps)
+
+    # Epochs of non-window-aligned length never satisfy the fused
+    # gate's whole-window condition, so this run exercises only the
+    # split rebuild/block programs.
+    import dataclasses as dc
+
+    eng2 = dc.replace(eng, steps_per_epoch=k - 1)
+    cfg2 = amc.temperature_pore_config(num_particles_override=n,
+                                       engine=eng2)
+    sim_s = amc.Simulation(amc.make_workload(cfg2))
+    st_s, m_s, met_s = sim_s.run(num_steps=steps)
+
+    np.testing.assert_array_equal(np.asarray(st_f.pos), np.asarray(st_s.pos))
+    np.testing.assert_array_equal(np.asarray(st_f.vel), np.asarray(st_s.vel))
+    assert int(m_f.collision_count) == int(m_s.collision_count)
+    np.testing.assert_array_equal(np.asarray(met_f.rebuilt),
+                                  np.asarray(met_s.rebuilt))

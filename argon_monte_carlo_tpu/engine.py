@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from .config import CubeConfig, PoreConfig, cell_capacity_for, cell_size_for
 from .ops import collide
 from .ops import measure as measure_ops
+from .ops.compact import compact_indices
 from .state import Measurements, ParticleState, StepMetrics
 
 
@@ -360,9 +361,7 @@ def make_pairs_step_fn(workload: Workload, device_grid, host_grid):
         # proportional to the per-step collision/wall-hit rate.
         shared_cap = max(measure_ops.FLUSH_CAPACITY, n // 64)
         shared_mask = measure.pending_mask | dirty
-        (shared_idx,) = jnp.nonzero(
-            shared_mask, size=shared_cap, fill_value=n
-        )
+        shared_idx = compact_indices(shared_mask, shared_cap, n)
         safe_sh = jnp.clip(shared_idx, 0, n - 1)
         dirty_at = (shared_idx < n) & dirty[safe_sh]
         (dsel,) = jnp.nonzero(

@@ -165,9 +165,9 @@ def flush_pending(measure: Measurements, num_bins: int,
     n = measure.pending_vals.shape[0]
     cap = FLUSH_CAPACITY if capacity is None else capacity
     if compact and n > cap:
-        (event_idx,) = jnp.nonzero(
-            measure.pending_mask, size=cap, fill_value=n
-        )
+        from .compact import compact_indices
+
+        event_idx = compact_indices(measure.pending_mask, cap, n)
         valid = event_idx < n
         vals = measure.pending_vals[jnp.where(valid, event_idx, 0)]
         ids = jnp.clip(

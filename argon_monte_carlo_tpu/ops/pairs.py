@@ -60,6 +60,7 @@ import jax.numpy as jnp
 from ..state import Measurements, ParticleState
 from . import collide
 from . import measure as measure_ops
+from .compact import compact_indices
 
 INT_BIG = 2**30
 
@@ -192,13 +193,13 @@ def rebuild(state: ParticleState, grid: collide.DeviceGrid,
             clipped = clipped & valid_lanes
     m_cap = pcfg.pair_capacity
     has = jnp.any(valid, axis=1)
-    (pidx,) = jnp.nonzero(has, size=m_cap, fill_value=n)
+    pidx = compact_indices(has, m_cap, n)
     p_ok = pidx < n
     p_safe = jnp.where(p_ok, pidx, 0)
     pv = valid[p_safe] & p_ok[:, None]           # (m_cap, top_k)
     pc = cands[p_safe]
     mk = m_cap * pcfg.top_k
-    (sel,) = jnp.nonzero(pv.reshape(-1), size=m_cap, fill_value=mk)
+    sel = compact_indices(pv.reshape(-1), m_cap, mk)
     ok = sel < mk
     sel_safe = jnp.where(ok, sel, 0)
     a = jnp.where(ok, pidx[sel_safe // pcfg.top_k], n).astype(jnp.int32)
@@ -267,7 +268,7 @@ def test_and_resolve(
     colliding = (jnp.sum(dxv * dxv, axis=-1) < cr * cr) & (pairs.a < n)
 
     # Compact colliding entries (collisions are ~1e-3 of candidates).
-    (eidx,) = jnp.nonzero(colliding, size=event_capacity, fill_value=m)
+    eidx = compact_indices(colliding, event_capacity, m)
     evalid = eidx < m
     safe_e = jnp.where(evalid, eidx, 0)
     ea = jnp.where(evalid, pairs.a[safe_e], n)
@@ -497,8 +498,7 @@ def research_dirty(
     ok = cands < INT_BIG
     flat_ok = ok.reshape(-1)
     erk = e * pcfg.research_top_k
-    (sel,) = jnp.nonzero(flat_ok, size=pcfg.append_capacity,
-                         fill_value=erk)
+    sel = compact_indices(flat_ok, pcfg.append_capacity, erk)
     sel_ok = sel < erk
     sel_safe = jnp.where(sel_ok, sel, 0)
     new_a = jnp.where(

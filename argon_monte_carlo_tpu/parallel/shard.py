@@ -42,6 +42,7 @@ from ..config import cell_capacity_for, cell_size_for
 from ..engine import Workload
 from ..ops import collide
 from ..ops import measure as measure_ops
+from ..ops.compact import compact_indices
 from ..state import Measurements, ParticleState, StepMetrics
 from .mesh import AXIS, make_mesh
 
@@ -846,8 +847,8 @@ class ShardedSimulation:
                 # (engine.make_pairs_step_fn).
                 shared_cap = max(measure_ops.FLUSH_CAPACITY, n_comb // 64)
                 shared_mask = measure.pending_mask | dirty
-                (shared_idx,) = jnp.nonzero(
-                    shared_mask, size=shared_cap, fill_value=n_comb
+                shared_idx = compact_indices(
+                    shared_mask, shared_cap, n_comb
                 )
                 safe_sh = jnp.clip(shared_idx, 0, n_comb - 1)
                 dirty_at = (shared_idx < n_comb) & dirty[safe_sh]

@@ -226,3 +226,25 @@ def test_fused_epoch_matches_split_blocks_bitwise():
     assert int(m_f.collision_count) == int(m_s.collision_count)
     np.testing.assert_array_equal(np.asarray(met_f.rebuilt),
                                   np.asarray(met_s.rebuilt))
+
+
+def test_compact_indices_matches_nonzero_contract():
+    """compact_indices must be OUTPUT-IDENTICAL to jnp.nonzero(size=...)
+    -- every hot compaction swapped to the sort-based lowering relies on
+    it for the pairs==sweep bitwise guarantee."""
+    from argon_monte_carlo_tpu.ops.compact import compact_indices
+
+    rng = np.random.default_rng(7)
+    cases = [
+        (np.zeros(97, bool), 16),              # empty
+        (np.ones(97, bool), 16),               # full + truncation
+        (rng.random(1000) < 0.03, 64),         # sparse
+        (rng.random(1000) < 0.5, 64),          # dense + truncation
+        (rng.random(50) < 0.3, 128),           # size > n (padding)
+        (np.array([True]), 4),
+    ]
+    for mask, size in cases:
+        want = jnp.nonzero(jnp.asarray(mask), size=size,
+                           fill_value=mask.shape[0])[0]
+        got = compact_indices(jnp.asarray(mask), size, mask.shape[0])
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -255,7 +255,9 @@ def pairs_config_for(workload: Workload, num_particles: int | None = None):
     # step) blow the in-reach expectation up to ~140 and NO top-k can
     # cover it -- refusing is the only correct behaviour (measured: 0
     # of 2 collisions found, 139k overflow).
-    if lam > 0.6 * pcfg.top_k:
+    if lam / 2.0 > 0.6 * pcfg.top_k:
+        # The rebuild emission is one-sided: expected emissions per
+        # particle are lambda/2 against the top_k budget.
         raise ValueError(
             f"narrowphase='pairs' cannot cover this workload: expected "
             f"in-reach candidates/particle lambda(K={k}) = {lam:.1f} "

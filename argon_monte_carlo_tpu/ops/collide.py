@@ -339,6 +339,7 @@ def cell_candidate_search(
     ids: jnp.ndarray | None = None,
     valid: jnp.ndarray | None = None,
     cell_window: tuple | None = None,
+    one_sided: bool = False,
 ):
     """Up to ``top_k`` lowest-index in-range candidates per particle.
 
@@ -352,7 +353,16 @@ def cell_candidate_search(
       within K steps, ops/pairs.py);
     * ``top_k`` -- emit the K lowest-index candidates, ascending
       (K=1 reproduces cell_partner_search exactly; K=4 feeds the pair
-      list, covering multi-candidate particles).
+      list, covering multi-candidate particles);
+    * ``one_sided`` -- emit only candidates with HIGHER id (index, or
+      global id when ``ids`` is given).  Every unordered pair then
+      appears in exactly its lower-id side's list, which is all the
+      pair-list rebuild consumes (it discarded the higher-id half
+      anyway) -- the per-particle emission expectation halves, so
+      ``top_k`` (and with it the dominant VPU cost of the top-k
+      min-passes) shrinks.  The per-step sweep narrow phase MUST stay
+      two-sided: its mutual-match rule needs every particle's own
+      lowest-index overlap.
 
     Returns (candidates (N, top_k) int32 ascending with -1 padding,
     overflow_count, pack) where ``pack`` is the (pslot, mega) packing
@@ -525,7 +535,12 @@ def cell_candidate_search(
             else:
                 thresh = orc[:, :, None] + part(reach_plane)[:, None, :]
                 in_range = d2 < thresh * thresh
-            hit = in_range & (nid[:, None, :] != oid[:, :, None])
+            if one_sided:
+                # Strict > excludes self AND the lower-id half (empty
+                # slots still die on the far-sentinel position).
+                hit = in_range & (nid[:, None, :] > oid[:, :, None])
+            else:
+                hit = in_range & (nid[:, None, :] != oid[:, :, None])
             masked = jnp.where(hit, nix[:, None, :], int_big)
             prev = None
             for k in range(top_k):

@@ -266,4 +266,9 @@ def pairs_cell_capacity_for(cfg_engine: EngineConfig, physics: GasPhysics,
     size = _required_cell_size(cfg_engine, physics, density)
     occ = density * size**3
     cap = occ + 3.75 * math.sqrt(max(occ, 1.0)) + 1.0
-    return int(math.ceil(cap / 8.0) * 8)
+    # Round to the NEAREST multiple of 8, not up: at reference interior
+    # occupancy ~11 the raw value lands at 24.4, and ceil inflated the
+    # sweep's (cells, cap, 27*cap) lane count 78% (cap 32 vs 24) for
+    # tail mass that spill-to-hot absorbs exactly anyway (counted in
+    # PairList.spill; the forced-starvation test pins the coverage).
+    return max(8, int(round(cap / 8.0) * 8))

@@ -136,6 +136,69 @@ def main():
     timeit("top-5 min-passes", jax.jit(lambda h, x: topk_passes(h, x, 5)),
            hitval, nix)
 
+    # End-to-end mini-sweep comparison: the decisive question is not
+    # isolated op times but what XLA fuses -- the MXU form must
+    # materialize its (B, cap, W) hit values to HBM unless the compare/
+    # select fuse into the dot output, and the moment extraction then
+    # re-reads them.  VPU form: fused d2+threshold+top-3.  MXU form:
+    # einsum hit values -> int8 hit mask -> segmented per-group count
+    # and index-sum (exact for 0/1-hit groups).
+    def vpu_sweep(ox, nx, orc, nrc, nix):
+        dx = ox[:, :, 0][:, :, None] - nx[:, :, 0][:, None, :]
+        dy = ox[:, :, 1][:, :, None] - nx[:, :, 1][:, None, :]
+        dz = ox[:, :, 2][:, :, None] - nx[:, :, 2][:, None, :]
+        d2 = dx * dx + dy * dy + dz * dz
+        thresh = orc[:, :, None] + nrc[:, None, :]
+        hit = d2 < thresh * thresh
+        masked = jnp.where(hit, jnp.broadcast_to(nix, hit.shape), 2**30)
+        outs, prev = [], None
+        for _ in range(3):
+            if prev is not None:
+                masked = jnp.where(masked > prev[:, :, None], masked,
+                                   2**30)
+            prev = jnp.min(masked, axis=-1)
+            outs.append(prev)
+        return jnp.stack(outs, -1)
+
+    G = 6  # candidate groups for the segmented moments
+
+    def mxu_sweep(lhs, rhs, nix):
+        val = jnp.einsum("bik,bkj->bij", lhs, rhs,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        hit = (val < 0.0).astype(jnp.float32)     # (B, cap, W)
+        hw = hit.reshape(B, cap, G, W // G)
+        cnt = jnp.sum(hw, axis=-1)                # (B, cap, G)
+        s1 = jnp.sum(
+            hw * nix.astype(jnp.float32).reshape(B, 1, G, W // G),
+            axis=-1)
+        cand = jnp.where(cnt == 1.0, s1, jnp.float32(2**30))
+        return jnp.sort(cand, axis=-1)[:, :, :3], jnp.sum(cnt >= 2.0)
+
+    t_v = timeit("VPU mini-sweep (d2+top3)", jax.jit(vpu_sweep),
+                 ox, nx, orc, nrc, nix)
+    t_m = timeit("MXU mini-sweep (einsum+moments)", jax.jit(mxu_sweep),
+                 lhs6, rhs6, nix)
+    print(f"mini-sweep MXU/VPU ratio: {t_m/t_v:.2f}")
+
+    # Exact integer recovery through the HIGHEST-precision einsum: a
+    # 0/1 mask times int-valued f32 weights < 2^24 must come back
+    # bit-exact for the moment extraction to be sound.
+    km = jax.random.split(k1)[0]
+    mask01 = (jax.random.uniform(km, (512, 640)) < 0.002).astype(
+        jnp.float32)
+    wts = jax.random.randint(km, (640, 1), 0, 1 << 24).astype(
+        jnp.float32)
+    ref = jnp.sum(mask01 * wts.reshape(1, -1), axis=-1, dtype=jnp.float64)
+    got = jnp.einsum("bw,wo->bo", mask01, wts,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)[:, 0]
+    single = jnp.sum(mask01, axis=-1) == 1.0
+    exact = jnp.all(jnp.where(single, got.astype(jnp.float64) == ref,
+                              True))
+    print(f"single-hit integer recovery exact: {bool(exact)} "
+          f"({int(jnp.sum(single))} single-hit rows)")
+
     # argsort vs nonzero at N (the compaction swap's premise).
     mask = jax.random.uniform(k3, (N,)) < 0.01
 

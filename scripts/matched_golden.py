@@ -64,6 +64,10 @@ def main() -> int:
     ap.add_argument("out_dir")
     ap.add_argument("--scale", type=float, default=0.35)
     ap.add_argument("--steps", type=int, default=2500)
+    ap.add_argument("--stage", default="temperature_pore",
+                    choices=["temperature_pore", "pore"],
+                    help="pore = Open_Air_Pore_MC (v1: all-specular "
+                         "walls, no ledger CSV to compare)")
     ap.add_argument("--ref-log", default=None,
                     help="reference run log (for its printed MFP)")
     ap.add_argument("--reuse-ours", action="store_true",
@@ -86,10 +90,13 @@ def main() -> int:
     eng = amc.EngineConfig(dtype="float64", broadphase="cells",
                            steps_per_epoch=48, narrowphase="pairs",
                            rebuild_interval=8)
-    cfg = amc.temperature_pore_config(geometry=geom, engine=eng)
+    if args.stage == "temperature_pore":
+        cfg = amc.temperature_pore_config(geometry=geom, engine=eng)
+    else:
+        cfg = amc.PoreConfig(geometry=geom, engine=eng)  # energized=False
     n = cfg.num_molecules
-    print(f"matched golden: scale={args.scale} N={n} steps={args.steps}",
-          file=sys.stderr)
+    print(f"matched golden[{args.stage}]: scale={args.scale} N={n} "
+          f"steps={args.steps}", file=sys.stderr)
 
     summary_path = os.path.join(ours_dir, "summary.json")
     if args.reuse_ours and os.path.exists(summary_path):
@@ -102,12 +109,13 @@ def main() -> int:
 
         writers.write_histograms(measure, eng.num_bins, eng.hist_range,
                                  ours_dir)
-        writers.write_momentum_energy_csv(
-            np.asarray(metrics.momentum_z),
-            np.asarray(metrics.energy_cold),
-            np.asarray(metrics.energy_hot),
-            os.path.join(ours_dir, "momentum_energy.csv"),
-        )
+        if args.stage == "temperature_pore":
+            writers.write_momentum_energy_csv(
+                np.asarray(metrics.momentum_z),
+                np.asarray(metrics.energy_cold),
+                np.asarray(metrics.energy_hot),
+                os.path.join(ours_dir, "momentum_energy.csv"),
+            )
         stats = path_statistics(measure, eng.num_bins, eng.hist_range)
         our_mfp = stats.mean_free_path
         summary = {
@@ -154,26 +162,29 @@ def main() -> int:
     if ref_mfp:
         report["mfp_ratio"] = our_mfp / ref_mfp
 
-    # Momentum/energy ledger comparison over the common step range.
-    import pandas as pd
+    # Momentum/energy ledger comparison over the common step range
+    # (temperature_pore only: the v1 pore reference script keeps no
+    # ledger and writes no CSV, Open_Air_Pore_MC.py:564-636).
+    if args.stage == "temperature_pore":
+        import pandas as pd
 
-    rcsv = pd.read_csv(os.path.join(ref_copy, "momentum_energy.csv"),
-                       index_col=0)
-    ocsv = pd.read_csv(os.path.join(ours_dir, "momentum_energy.csv"),
-                       index_col=0)
-    m = min(len(rcsv), len(ocsv))
-    led = {}
-    for col in ["Momentum", "EnergyCold", "EnergyHot"]:
-        r = rcsv[col].to_numpy()[:m]
-        o = ocsv[col].to_numpy()[:m]
-        # Means with a z-score on the difference (per-step values are
-        # i.i.d.-ish across steps after the initial transient).
-        se = np.sqrt(r.var() / m + o.var() / m)
-        led[col] = {
-            "ref_mean": float(r.mean()), "ours_mean": float(o.mean()),
-            "z": float((r.mean() - o.mean()) / se) if se else None,
-        }
-    report["ledger"] = led
+        rcsv = pd.read_csv(os.path.join(ref_copy, "momentum_energy.csv"),
+                           index_col=0)
+        ocsv = pd.read_csv(os.path.join(ours_dir, "momentum_energy.csv"),
+                           index_col=0)
+        m = min(len(rcsv), len(ocsv))
+        led = {}
+        for col in ["Momentum", "EnergyCold", "EnergyHot"]:
+            r = rcsv[col].to_numpy()[:m]
+            o = ocsv[col].to_numpy()[:m]
+            # Means with a z-score on the difference (per-step values are
+            # i.i.d.-ish across steps after the initial transient).
+            se = np.sqrt(r.var() / m + o.var() / m)
+            led[col] = {
+                "ref_mean": float(r.mean()), "ours_mean": float(o.mean()),
+                "z": float((r.mean() - o.mean()) / se) if se else None,
+            }
+        report["ledger"] = led
 
     report["pass_hist"] = all(
         (c == c) and c >= 0.97 for c in corrs.values()

@@ -340,6 +340,7 @@ def cell_candidate_search(
     valid: jnp.ndarray | None = None,
     cell_window: tuple | None = None,
     one_sided: bool = False,
+    half_shell: bool = False,
 ):
     """Up to ``top_k`` lowest-index in-range candidates per particle.
 
@@ -363,11 +364,33 @@ def cell_candidate_search(
       min-passes) shrinks.  The per-step sweep narrow phase MUST stay
       two-sided: its mutual-match rule needs every particle's own
       lowest-index overlap.
+    * ``half_shell`` (requires ``one_sided``, single-chip only) -- scan
+      only the 14 cells whose offset is lexicographically >= (0,0,0)
+      in (dz, dy, dx): columns 13..26 of the neighbour table
+      (_build_neighbors enumerates offsets in exactly that order, and
+      the table is symmetric -- layer widths ``nx`` are even, so the
+      inter-layer shift round-trips).  Each unordered cross-cell pair
+      appears at a positive offset from exactly one of its two cells
+      and is emitted from THAT side (id order decides only within the
+      self cell), so coverage is identical to the 27-cell one-sided
+      sweep while the hit test + top-k lanes shrink 27 -> 14 (the
+      rebuild's dominant VPU cost, measured 280 of 303 ms at 1M).
+      Which side emits changes (cell-lexicographic, not lower-id), but
+      every consumer treats entries symmetrically
+      (ops/pairs.test_and_resolve; research_dirty re-searches the full
+      27-neighbourhood two-sided).
 
     Returns (candidates (N, top_k) int32 ascending with -1 padding,
     overflow_count, pack) where ``pack`` is the (pslot, mega) packing
     reused by ops/pairs.research_dirty for stale-neighbourhood lookups.
     """
+    if half_shell and not (one_sided and ids is None
+                           and cell_window is None):
+        raise ValueError(
+            "half_shell requires one_sided=True and single-chip lane "
+            "semantics (ids=None, cell_window=None): windowed sweeps "
+            "need gid ownership so both shards keep a boundary pair"
+        )
     n = pos.shape[0]
     cap = grid.capacity
     num_rows = grid.num_cells + 1
@@ -513,7 +536,7 @@ def cell_candidate_search(
         # candidate wins is physically arbitrary -- >99.9% of colliding
         # particles have exactly one candidate at these densities -- and
         # lowest-index is just as deterministic and shard-consistent.)
-        for o0 in range(0, 27, group):
+        for o0 in range(13 if half_shell else 0, 27, group):
             sel = nbr[:, o0:o0 + group]                # (c_len, g)
             g = sel.shape[1]
             block = mega[sel]                          # (c_len, g, P*cap)
@@ -535,7 +558,23 @@ def cell_candidate_search(
             else:
                 thresh = orc[:, :, None] + part(reach_plane)[:, None, :]
                 in_range = d2 < thresh * thresh
-            if one_sided:
+            if half_shell:
+                # Cross-cell lanes need no id test at all (distinct
+                # cells can never hold the same particle; empty slots
+                # die on the far-sentinel position); id order applies
+                # only within the self cell, column 13.
+                if o0 <= 13 < o0 + g:
+                    self_lanes = jnp.asarray(
+                        np.repeat(np.arange(o0, o0 + g) == 13, cap)
+                    )
+                    hit = in_range & jnp.where(
+                        self_lanes[None, None, :],
+                        nid[:, None, :] > oid[:, :, None],
+                        True,
+                    )
+                else:
+                    hit = in_range
+            elif one_sided:
                 # Strict > excludes self AND the lower-id half (empty
                 # slots still die on the far-sentinel position).
                 hit = in_range & (nid[:, None, :] > oid[:, :, None])

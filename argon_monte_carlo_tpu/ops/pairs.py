@@ -143,14 +143,23 @@ def rebuild(state: ParticleState, grid: collide.DeviceGrid,
     max_reach = 0.5 * grid.cell_size
     reach, clipped = reach_radii(state.vel, cr, dt,
                                  pcfg.rebuild_interval, max_reach)
-    # ONE-SIDED sweep: each unordered pair is emitted exactly once, from
-    # the lower-id side (the two-sided form discarded the higher-id half
-    # below anyway); the per-particle emission expectation halves, so
-    # top_k -- and the dominant VPU cost of the rebuild's top-k
-    # min-passes -- shrinks (default_pair_config sizes on lambda/2).
+    # ONE-SIDED sweep: each unordered pair is emitted exactly once (the
+    # two-sided form discarded one half below anyway); the per-particle
+    # emission expectation halves, so top_k -- and the dominant VPU
+    # cost of the rebuild's top-k min-passes -- shrinks
+    # (default_pair_config sizes on lambda/2).  Single-chip the sweep
+    # additionally scans only the HALF SHELL (14 of 27 neighbour cells;
+    # emission side is cell-lexicographic, id order within the self
+    # cell) -- coverage-identical, ~halving the hit-test lanes; every
+    # consumer treats (a, b) symmetrically so which side emits is
+    # irrelevant (test_and_resolve mutual match, research_dirty's full
+    # two-sided 27-cell re-search).  Sharded sweeps keep lower-GID
+    # emission over the full shell: both shards sharing a boundary pair
+    # must keep the same entry from a row inside their windows.
     cands, cell_overflow, (pslot0, mega0) = collide.cell_candidate_search(
         state.pos, grid, reach=reach, top_k=pcfg.top_k, ids=ids,
         valid=valid_lanes, cell_window=cell_window, one_sided=True,
+        half_shell=(ids is None and cell_window is None),
     )
     # Cell-table overflow -> HOT, not lost: a particle dropped from the
     # slot planes is invisible to every other particle's search, but a

@@ -36,9 +36,10 @@ def timeit(label, fn, *args, reps=5):
         t0 = time.time()
         out = fn(*args)
         jax.block_until_ready(out)
-        # tunnel sync quirk: pull a scalar
-        _ = float(jnp.asarray(out[0] if isinstance(out, tuple) else out)
-                  .reshape(-1)[0])
+        # tunnel sync quirk: pull a scalar (first array leaf of any
+        # pytree result)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        _ = float(jnp.asarray(leaf).reshape(-1)[0])
         best = min(best, time.time() - t0)
     print(f"{label:44s} {best*1e3:8.2f} ms")
     return best

@@ -248,3 +248,53 @@ def test_compact_indices_matches_nonzero_contract():
                            fill_value=mask.shape[0])[0]
         got = compact_indices(jnp.asarray(mask), size, mask.shape[0])
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_half_shell_emits_identical_pair_set():
+    """The 14-cell half-shell one-sided sweep emits EXACTLY the pair set
+    of the 27-cell one-sided sweep (different owning sides, same
+    unordered pairs) -- the coverage invariant the single-chip rebuild
+    rests on.  top_k is sized so neither variant truncates."""
+    key = jax.random.PRNGKey(11)
+    n = 4000
+    eng = amc.EngineConfig(dtype="float64", broadphase="cells")
+    for mk in (amc.temperature_pore_config, amc.CubeConfig):
+        cfg = mk(num_particles_override=n, engine=eng)
+        wl = amc.make_workload(cfg)
+        from argon_monte_carlo_tpu.engine import build_grids
+
+        _, dgrid = build_grids(wl)
+        state = wl.init_fn(key)
+        # Inflated per-particle reach: plenty of multi-candidate
+        # particles, including cross-cell pairs in every direction.
+        # (The cube's huge dt makes the K-step reach blow past any
+        # testable top_k, so it gets a fixed quarter-cell reach -- the
+        # cross-cell emission geometry is what the test is about.)
+        if mk is amc.CubeConfig:
+            reach = jnp.full((n,), 0.25 * dgrid.cell_size,
+                             state.pos.dtype)
+        else:
+            reach, _ = pairs_ops.reach_radii(
+                state.vel, cfg.physics.collision_range * 12.0, cfg.dt,
+                8, 0.5 * dgrid.cell_size)
+        top_k = 24
+
+        def pair_set(half_shell):
+            cands, overflow, _ = collide.cell_candidate_search(
+                state.pos, dgrid, reach=reach, top_k=top_k,
+                one_sided=True, half_shell=half_shell)
+            c = np.asarray(cands)
+            # No particle may have filled its list (else the sets could
+            # differ by truncation, not by coverage).
+            assert (c[:, -1] < 0).all(), "top_k too small for this test"
+            i = np.repeat(np.arange(n), top_k)
+            j = c.reshape(-1)
+            m = j >= 0
+            i, j = i[m], j[m]
+            return set(zip(np.minimum(i, j).tolist(),
+                           np.maximum(i, j).tolist()))
+
+        full = pair_set(False)
+        half = pair_set(True)
+        assert half == full
+        assert len(full) > 100  # the inflated reach must bite

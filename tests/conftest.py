@@ -24,6 +24,18 @@ import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
 
+# Per-host persistent compile cache: the suite's wall time is dominated
+# by XLA:CPU compiles of the equivalence tests' many engine configs
+# (slowest tests 100-190s each, nearly all compile).  A dedicated dir
+# (NOT shared with the TPU bench cache: mixed-backend dirs produced
+# cpu_aot_loader machine-feature mismatches) makes repeat suite runs
+# load those executables from disk.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("ARGON_TEST_CACHE_DIR", "/tmp/jax_argon_cache_tests"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 if jax.devices()[0].platform != "cpu" or len(jax.devices()) < 8:
     # Backends were initialized before this file ran (pinned platform).
     import jax.extend.backend as _jeb

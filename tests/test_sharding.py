@@ -232,3 +232,17 @@ def test_sharded_capacity_overflow_counters_fire():
     assert int(tot.halo_trunc_count) > 0
     assert int(tot.overflow_count) > 0
     assert alive + int(tot.overflow_count) >= cfg.num_molecules
+
+
+def test_sharded_rejects_hist_flush_interval():
+    """hist_flush_interval is a single-chip bandwidth knob; the sharded
+    step always runs the exact dense per-step flush.  The constructor
+    must refuse the knob rather than silently ignore it."""
+    import pytest
+
+    eng = EngineConfig(dtype="float64", broadphase="cells",
+                       hist_flush_interval=8)
+    cfg = amc.temperature_pore_config(num_particles_override=1000,
+                                      engine=eng)
+    with pytest.raises(ValueError, match="hist_flush_interval"):
+        ShardedSimulation(amc.make_workload(cfg), mesh=make_mesh(2))

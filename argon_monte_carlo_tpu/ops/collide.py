@@ -69,6 +69,16 @@ class Grid:
     num_cells: int
     neighbors: np.ndarray   # (num_cells, 27) int32
     capacity: int
+    # Sorted ids of cells whose box intersects the gas region (+0.5-cell
+    # margin); None when every cell is reachable (cube).  The pairs
+    # rebuild sweeps ONLY these rows: the per-layer grid is a square box
+    # around a circular region, so 30-45% of cells are corner/slack
+    # cells no particle can reach (measured 33% at 1M: 120k of 180k) --
+    # lanes spent sweeping them are pure padding.  Coverage stays exact:
+    # a particle binned OUTSIDE the active set (stray beyond the margin)
+    # is routed to the HOT set like a capacity spill and re-searches
+    # both-sided every step (ops/pairs.rebuild ``unswept``).
+    active_cells: np.ndarray | None = None
 
 
 def _build_neighbors(nz, nx, layer_base) -> np.ndarray:
@@ -100,12 +110,19 @@ def _build_neighbors(nz, nx, layer_base) -> np.ndarray:
 
 
 def build_grid(cell_size: float, z_lo: float, z_hi: float,
-               radius_of_z, capacity: int) -> Grid:
+               radius_of_z, capacity: int,
+               region_radius_of_z=None) -> Grid:
     """Build a grid whose per-layer xy extent covers ``radius_of_z``.
 
     ``radius_of_z(z_lo, z_hi) -> max radius`` reachable in that z range.
     One slack cell is added all around so pre-recapture strays still bin
     into real cells.
+
+    ``region_radius_of_z(z_lo, z_hi) -> exact max gas radius`` (no
+    slack) enables the static active-cell list (Grid.active_cells): a
+    cell is active iff its xy box comes within ``r + 0.5 cell`` of the
+    axis for its (margin-expanded) z range.  The margin covers one-step
+    pre-recapture excursions; anything beyond goes hot (counted, exact).
     """
     nz = int(np.ceil((z_hi - z_lo) / cell_size))
     nx = np.zeros(nz, dtype=np.int32)
@@ -121,6 +138,26 @@ def build_grid(cell_size: float, z_lo: float, z_hi: float,
     layer_base[1:] = np.cumsum((nx.astype(np.int64) ** 2))[:-1]
     num_cells = int(layer_base[-1] + nx[-1] ** 2)
     neighbors = _build_neighbors(nz, nx, layer_base)
+    active = None
+    if region_radius_of_z is not None:
+        margin = 0.5 * cell_size
+        chunks = []
+        for iz in range(nz):
+            lo = z_lo + iz * cell_size
+            hi = lo + cell_size
+            r = float(region_radius_of_z(lo - margin, hi + margin))
+            nl = int(nx[iz])
+            edge = np.arange(nl) * cell_size - half_extent[iz]
+            # Min |coord| inside the cell's [edge, edge+cs) interval.
+            cmin = np.where((edge < 0) & (edge + cell_size > 0), 0.0,
+                            np.minimum(np.abs(edge),
+                                       np.abs(edge + cell_size)))
+            d2 = cmin[:, None] ** 2 + cmin[None, :] ** 2
+            iy, ix = np.nonzero(d2 <= (r + margin) ** 2)
+            chunks.append(
+                (layer_base[iz] + iy * nl + ix).astype(np.int64)
+            )
+        active = np.sort(np.concatenate(chunks)).astype(np.int32)
     return Grid(
         cell_size=float(cell_size),
         z_lo=float(z_lo),
@@ -131,6 +168,7 @@ def build_grid(cell_size: float, z_lo: float, z_hi: float,
         num_cells=num_cells,
         neighbors=neighbors,
         capacity=int(capacity),
+        active_cells=active,
     )
 
 
@@ -152,8 +190,26 @@ def grid_for_pore(geom, cell_size: float, capacity: int) -> Grid:
             return geom.open_air_radius
         return geom.gap_radius
 
+    def region_radius_of_z(lo, hi):
+        # EXACT max gas radius over [lo, hi] (per z-segment, no slack):
+        # drives the active-cell list.  Segment stack per
+        # geometry.PoreGeometry (reference Open_Air_Pore_MC.py:23-46).
+        segs = (
+            (0.0, geom.open_air_height, geom.open_air_radius),
+            (geom.open_air_height, geom.gap_bottom,
+             geom.pore_coated_radius),
+            (geom.gap_bottom, geom.gap_top, geom.gap_radius),
+            (geom.gap_top, geom.cold_top, geom.pore_coated_radius),
+            (geom.cold_top, geom.total_height, geom.open_air_radius),
+        )
+        r = 0.0
+        for a, b, rr in segs:
+            if hi > a and lo < b:
+                r = max(r, rr)
+        return r
+
     return build_grid(cell_size, 0.0, geom.total_height, radius_of_z,
-                      capacity)
+                      capacity, region_radius_of_z=region_radius_of_z)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -172,9 +228,23 @@ class DeviceGrid:
     # xy offset applied before binning (cube uses its centre).
     center_x: float = 0.0
     center_y: float = 0.0
+    # Static active-cell list (Grid.active_cells) + its inverse: rank of
+    # each cell in the list, -1 if inactive ((num_cells+1,), the dummy
+    # cell is inactive).  None when every cell is active (cube grids,
+    # sharded windows).
+    active_cells: jax.Array | None = None
+    active_rank: jax.Array | None = None
 
     @staticmethod
     def from_grid(grid: Grid, dtype, center_xy=(0.0, 0.0)) -> "DeviceGrid":
+        act = rank = None
+        if grid.active_cells is not None:
+            rank_np = np.full(grid.num_cells + 1, -1, np.int32)
+            rank_np[grid.active_cells] = np.arange(
+                grid.active_cells.shape[0], dtype=np.int32
+            )
+            act = jnp.asarray(grid.active_cells)
+            rank = jnp.asarray(rank_np)
         return DeviceGrid(
             nx=jnp.asarray(grid.nx),
             layer_base=jnp.asarray(grid.layer_base),
@@ -187,12 +257,15 @@ class DeviceGrid:
             capacity=grid.capacity,
             center_x=float(center_xy[0]),
             center_y=float(center_xy[1]),
+            active_cells=act,
+            active_rank=rank,
         )
 
 
 jax.tree_util.register_dataclass(
     DeviceGrid,
-    data_fields=["nx", "layer_base", "half_extent", "neighbors"],
+    data_fields=["nx", "layer_base", "half_extent", "neighbors",
+                 "active_cells", "active_rank"],
     meta_fields=["cell_size", "z_lo", "nz", "num_cells", "capacity",
                  "center_x", "center_y"],
 )
@@ -443,7 +516,18 @@ def cell_candidate_search(
         assert search_radius is not None
         pr = None
 
-    if cell_window is None:
+    # Active-cell sweep (pairs rebuild, single-chip): iterate only the
+    # static active-cell list -- 30-45% of the region-aware grid's cells
+    # are unreachable box corners/slack whose emission lanes are pure
+    # padding.  Gated on ``reach`` because only the pairs engine has the
+    # hot-set backstop for particles binned outside the list; the
+    # per-step sweep narrow phase (search_radius) must sweep every row
+    # or a stray's own mutual-match row would silently vanish.
+    use_active = (grid.active_cells is not None and reach is not None
+                  and ids is None and cell_window is None)
+    if use_active:
+        start, width = 0, int(grid.active_cells.shape[0])
+    elif cell_window is None:
         start, width = 0, grid.num_cells
     else:
         start, width = cell_window
@@ -451,7 +535,12 @@ def cell_candidate_search(
     r2 = (None if search_radius is None
           else jnp.asarray(search_radius * search_radius, pos.dtype))
     int_big = jnp.int32(2**30)
-    group = 5
+    # Offsets per gather group: the candidate minor axis is group*cap
+    # wide and the VPU pads it to a multiple of 128 lanes, so pick the
+    # largest group with group*cap <= 128 (cap 24 -> 5 = 120 lanes, cap
+    # 16 -> 8 = 128, cap 32 -> 4 = 128).  Grouping only batches the
+    # masked min-reduces; the emitted top-k set is grouping-invariant.
+    group = max(1, min(27, 128 // cap))
 
     # All candidate planes packed side by side so each neighbour-cell
     # access is ONE wide row gather instead of several narrow ones (TPU
@@ -500,30 +589,51 @@ def cell_candidate_search(
     # partner readback and drop collisions near late shards' boundaries
     # (caught by tests/test_cross_shard_pair.py) -- so pad by the full
     # scanned extent.
-    if cell_window is None:
+    if use_active:
+        # Emission rows are GATHERED through the active list; one far
+        # pad row (index num_rows) absorbs list padding, and the
+        # neighbour table gets two dummy rows so a padded active id
+        # still reads "all neighbours outside".
+        pad_rows = 1
+        act_p = jnp.pad(grid.active_cells,
+                        (0, n_chunks * chunk - width),
+                        constant_values=num_rows)
+        nbr_p = jnp.pad(grid.neighbors, ((0, 2), (0, 0)),
+                        constant_values=grid.num_cells)
+    elif cell_window is None:
         pad_rows = max(n_chunks * chunk - width, 0)
     else:
         pad_rows = n_chunks * chunk
+    if not use_active:
+        nbr_p = jnp.pad(grid.neighbors, ((0, pad_rows), (0, 0)),
+                        constant_values=grid.num_cells)
     px_p = jnp.pad(px, ((0, pad_rows), (0, 0)), constant_values=1e9)
     py_p = jnp.pad(py, ((0, pad_rows), (0, 0)), constant_values=1e9)
     pz_p = jnp.pad(pz, ((0, pad_rows), (0, 0)), constant_values=1e9)
     pid_p = jnp.pad(pid, ((0, pad_rows), (0, 0)), constant_values=-2)
     pr_p = (None if pr is None else
             jnp.pad(pr, ((0, pad_rows), (0, 0)), constant_values=0.0))
-    nbr_p = jnp.pad(grid.neighbors, ((0, pad_rows), (0, 0)),
-                    constant_values=grid.num_cells)
 
     def sweep_chunk(c0):
-        def window(p):
-            return jax.lax.dynamic_slice_in_dim(p, start + c0, chunk,
-                                                axis=0)
+        if use_active:
+            sel_cells = jax.lax.dynamic_slice_in_dim(act_p, c0, chunk)
+
+            def window(p):
+                return p[sel_cells]
+
+            nbr = nbr_p[sel_cells]
+        else:
+            def window(p):
+                return jax.lax.dynamic_slice_in_dim(p, start + c0,
+                                                    chunk, axis=0)
+
+            nbr = jax.lax.dynamic_slice_in_dim(nbr_p, start + c0, chunk,
+                                               axis=0)
 
         c_len = chunk
         ox, oy, oz = window(px_p), window(py_p), window(pz_p)
         oid = window(pid_p)
         orc = None if pr_p is None else window(pr_p)
-        nbr = jax.lax.dynamic_slice_in_dim(nbr_p, start + c0, chunk,
-                                           axis=0)
         bests = tuple(oid * 0 + int_big for _ in range(top_k))
 
         # Offset-grouped: the candidate (minor) axis is group*cap wide --
@@ -613,11 +723,28 @@ def cell_candidate_search(
     # Read back to particle order through the particle->slot map (an
     # N-sized gather; the former slot->particle scatter moved C*cap
     # elements and cost ~5% of the whole step).
-    rel = pslot - jnp.int32(start) * cap
-    in_window = (rel >= 0) & (rel < width * cap)
-    rel = jnp.clip(rel, 0, width * cap - 1)
-    cands = jnp.where(in_window[:, None], cand_flat[rel], -1)
-    return cands, overflow, (pslot, mega)
+    if use_active:
+        # Active mode: cand_flat rows are in active-LIST order; map each
+        # particle's cell through the static rank table.  A particle in
+        # an INACTIVE cell (stray beyond the 0.5-cell margin) was not
+        # swept as an emission row -- report it in ``unswept`` so the
+        # rebuild routes it hot (re-searched both-sided every step,
+        # exactly like a capacity spill).  Table-dropped particles
+        # (pslot == num_cells*cap) are already hot via their own path.
+        cell_of = pslot // cap
+        arank = grid.active_rank[jnp.minimum(cell_of, grid.num_cells)]
+        covered = arank >= 0
+        rel = arank * cap + pslot % cap
+        rel = jnp.clip(rel, 0, width * cap - 1)
+        cands = jnp.where(covered[:, None], cand_flat[rel], -1)
+        unswept = (~covered) & (pslot < grid.num_cells * cap)
+    else:
+        rel = pslot - jnp.int32(start) * cap
+        in_window = (rel >= 0) & (rel < width * cap)
+        rel = jnp.clip(rel, 0, width * cap - 1)
+        cands = jnp.where(in_window[:, None], cand_flat[rel], -1)
+        unswept = jnp.zeros((n,), jnp.bool_)
+    return cands, overflow, (pslot, mega, unswept)
 
 
 def allpairs_partner_search(

@@ -156,7 +156,8 @@ def rebuild(state: ParticleState, grid: collide.DeviceGrid,
     # two-sided 27-cell re-search).  Sharded sweeps keep lower-GID
     # emission over the full shell: both shards sharing a boundary pair
     # must keep the same entry from a row inside their windows.
-    cands, cell_overflow, (pslot0, mega0) = collide.cell_candidate_search(
+    cands, cell_overflow, (pslot0, mega0, unswept) = \
+        collide.cell_candidate_search(
         state.pos, grid, reach=reach, top_k=pcfg.top_k, ids=ids,
         valid=valid_lanes, cell_window=cell_window, one_sided=True,
         half_shell=(ids is None and cell_window is None),
@@ -219,7 +220,7 @@ def rebuild(state: ParticleState, grid: collide.DeviceGrid,
         age=jnp.zeros((), jnp.int32),
         mega0=mega0,
         pslot0=pslot0,
-        hot=clipped | table_dropped,
+        hot=clipped | table_dropped | unswept,
         pending1=full_mask,
         overflow=old.overflow + dropped,
         spill=old.spill + cell_overflow,

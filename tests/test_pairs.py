@@ -298,3 +298,49 @@ def test_half_shell_emits_identical_pair_set():
         half = pair_set(True)
         assert half == full
         assert len(full) > 100  # the inflated reach must bite
+
+
+def test_active_cell_list_covers_init_and_routes_strays():
+    """The static active-cell list (Grid.active_cells) must (a) actually
+    prune rows, (b) cover every cell the initial state occupies (no
+    equilibrium particle is ever hot-routed for being unswept), and (c)
+    route a particle forced into an inactive corner cell to the HOT set
+    at rebuild -- the exactness backstop for strays beyond the margin."""
+    key = jax.random.PRNGKey(5)
+    n = 4000
+    eng = amc.EngineConfig(dtype="float64", broadphase="cells",
+                           narrowphase="pairs", rebuild_interval=8)
+    cfg = amc.temperature_pore_config(num_particles_override=n,
+                                      engine=eng)
+    wl = amc.make_workload(cfg)
+    from argon_monte_carlo_tpu.engine import build_grids, pairs_config_for
+
+    _, dgrid = build_grids(wl)
+    assert dgrid.active_cells is not None
+    frac = dgrid.active_cells.shape[0] / dgrid.num_cells
+    assert frac < 0.85, f"active list prunes nothing ({frac:.2f})"
+
+    state = wl.init_fn(key)
+    cid = np.asarray(collide.assign_cells(state.pos, dgrid))
+    rank = np.asarray(dgrid.active_rank)
+    assert (rank[cid] >= 0).all(), "init occupancy outside active list"
+
+    # Force particle 0 into a box-corner cell of the bottom open-air
+    # layer: its distance to the axis exceeds the region radius + the
+    # 0.5-cell margin by construction (half_extent has the +1 slack
+    # cell), so the cell is inactive.
+    cs = dgrid.cell_size
+    he = float(np.asarray(dgrid.half_extent)[1])
+    corner = he - 0.51 * cs
+    pos = np.asarray(state.pos).copy()
+    pos[0] = (corner, corner, dgrid.z_lo + 1.5 * cs)
+    state.pos = jnp.asarray(pos, state.pos.dtype)
+    cid0 = int(np.asarray(collide.assign_cells(state.pos, dgrid))[0])
+    assert rank[cid0] < 0, "corner cell unexpectedly active"
+
+    pcfg = pairs_config_for(wl)
+    plist = pairs_ops.PairList.init(n, dgrid, pcfg, jnp.dtype("float64"))
+    new = pairs_ops.rebuild(state, dgrid, pcfg,
+                            cfg.physics.collision_range, cfg.dt, plist)
+    hot = np.asarray(new.hot)
+    assert hot[0], "unswept stray was not routed hot"

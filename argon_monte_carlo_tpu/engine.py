@@ -244,9 +244,34 @@ def pairs_config_for(workload: Workload, num_particles: int | None = None):
     density = cfg.num_molecules / workload.fluid_volume
     radius = physics.collision_range + 2.0 * physics.v_mean * k * cfg.dt
     lam = density * (4.0 / 3.0) * math.pi * radius**3
+    # Expected cell-table spills at the grid's capacity: each spilled
+    # particle joins the HOT set for the whole window (re-searched
+    # every step), so the research/append budgets must absorb them.
+    # Interior occupancy is Poisson(density * cell^3); at the default
+    # ~3.75-sigma capacity the expectation is ~tens of particles (the
+    # sizing below is a no-op), but a deliberately THIN capacity
+    # (EngineConfig.cell_capacity) shifts rebuild-sweep lanes (~cap^2)
+    # into research lanes (~linear) and needs the budgets to follow.
+    from .config import cell_size_for, pairs_cell_capacity_for
+
+    n_sized = cfg.num_molecules if num_particles is None else num_particles
+    cap_cells = pairs_cell_capacity_for(
+        cfg.engine, physics, cfg.num_molecules, workload.fluid_volume
+    )
+    cs = cell_size_for(cfg.engine, physics, cfg.num_molecules,
+                       workload.fluid_volume)
+    occ = density * cs**3
+    p = math.exp(-occ)
+    e_spill_per_cell = 0.0
+    for j in range(1, cap_cells + 60):
+        p *= occ / j
+        if j > cap_cells:
+            e_spill_per_cell += (j - cap_cells) * p
+    e_spill = (n_sized / max(occ, 1e-9)) * e_spill_per_cell
+    spill_hot = int(math.ceil(1.5 * e_spill))
     pcfg = pairs_ops.default_pair_config(
         cfg.num_molecules if num_particles is None else num_particles,
-        k, pair_expectation=lam,
+        k, pair_expectation=lam, spill_hot=spill_hot,
     )
     # The pair list can only cover collisions when the top-k emission
     # captures essentially every in-reach candidate.  Workloads whose

@@ -544,8 +544,8 @@ def research_dirty(
 
 
 def default_pair_config(n: int, rebuild_interval: int,
-                        pair_expectation: float | None = None
-                        ) -> PairConfig:
+                        pair_expectation: float | None = None,
+                        spill_hot: int = 0) -> PairConfig:
     """Capacity heuristics at ambient argon density.
 
     ``pair_expectation`` is the expected in-reach CANDIDATE count per
@@ -589,6 +589,16 @@ def default_pair_config(n: int, rebuild_interval: int,
         top_k += 1
     burst = int(n * tail(top_k + 1)) + 64
     research = max(research, 4 * burst)
+    # Standing hot membership from expected cell-table spills (thin
+    # capacities; engine.pairs_config_for computes the Poisson-tail
+    # expectation with 1.5x margin): hot particles re-search every
+    # step of the window, so they occupy research lanes ON TOP of the
+    # per-step dirty/burst traffic.  Small expectations (the default
+    # ~3.75-sigma capacity gives ~tens) are absorbed by the existing
+    # margins -- keeping the threshold also keeps program shapes (and
+    # the persistent compile cache) stable across this sizing.
+    if spill_hot >= 256:
+        research = research + spill_hot
     # The one-shot burst re-searches at research_top_k(12) candidates
     # each; the r2 K=12 cliff was these appends overflowing and forcing
     # a rebuild storm, so the append budget covers the worst-case burst

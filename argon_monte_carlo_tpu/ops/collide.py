@@ -437,32 +437,36 @@ def cell_candidate_search(
       min-passes) shrinks.  The per-step sweep narrow phase MUST stay
       two-sided: its mutual-match rule needs every particle's own
       lowest-index overlap.
-    * ``half_shell`` (requires ``one_sided``, single-chip only) -- scan
-      only the 14 cells whose offset is lexicographically >= (0,0,0)
-      in (dz, dy, dx): columns 13..26 of the neighbour table
-      (_build_neighbors enumerates offsets in exactly that order, and
-      the table is symmetric -- layer widths ``nx`` are even, so the
-      inter-layer shift round-trips).  Each unordered cross-cell pair
-      appears at a positive offset from exactly one of its two cells
-      and is emitted from THAT side (id order decides only within the
-      self cell), so coverage is identical to the 27-cell one-sided
-      sweep while the hit test + top-k lanes shrink 27 -> 14 (the
-      rebuild's dominant VPU cost, measured 280 of 303 ms at 1M).
-      Which side emits changes (cell-lexicographic, not lower-id), but
-      every consumer treats entries symmetrically
-      (ops/pairs.test_and_resolve; research_dirty re-searches the full
-      27-neighbourhood two-sided).
+    * ``half_shell`` (requires ``one_sided``) -- scan only the 14 cells
+      whose offset is lexicographically >= (0,0,0) in (dz, dy, dx):
+      columns 13..26 of the neighbour table (_build_neighbors
+      enumerates offsets in exactly that order, and the table is
+      symmetric -- layer widths ``nx`` are even, so the inter-layer
+      shift round-trips).  Each unordered cross-cell pair appears at a
+      positive offset from exactly one of its two cells and is emitted
+      from THAT side (id order decides only within the self cell), so
+      coverage is identical to the 27-cell one-sided sweep while the
+      hit test + top-k lanes shrink 27 -> 14 (the rebuild's dominant
+      VPU cost, measured 280 of 303 ms at 1M).  Which side emits
+      changes (cell-lexicographic, not lower-id), but every consumer
+      treats entries symmetrically (ops/pairs.test_and_resolve;
+      research_dirty re-searches the full 27-neighbourhood two-sided).
+      SHARDED windows included: cell ids are global, so shards sharing
+      a boundary pair agree on the emitting cell, which is one of the
+      two endpoint cells and therefore inside both shards' halo-padded
+      windows; within the self cell the id test runs on GLOBAL ids
+      (shard-consistent), and a lane can never meet its own ghost
+      cross-cell (same rebuild-time position => same cell).
 
     Returns (candidates (N, top_k) int32 ascending with -1 padding,
     overflow_count, pack) where ``pack`` is the (pslot, mega) packing
     reused by ops/pairs.research_dirty for stale-neighbourhood lookups.
     """
-    if half_shell and not (one_sided and ids is None
-                           and cell_window is None):
+    if half_shell and not one_sided:
         raise ValueError(
-            "half_shell requires one_sided=True and single-chip lane "
-            "semantics (ids=None, cell_window=None): windowed sweeps "
-            "need gid ownership so both shards keep a boundary pair"
+            "half_shell requires one_sided=True: the half-shell scan "
+            "emits each unordered pair exactly once, which is only "
+            "coherent under one-sided emission"
         )
     n = pos.shape[0]
     cap = grid.capacity

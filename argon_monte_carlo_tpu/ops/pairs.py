@@ -147,20 +147,28 @@ def rebuild(state: ParticleState, grid: collide.DeviceGrid,
     # two-sided form discarded one half below anyway); the per-particle
     # emission expectation halves, so top_k -- and the dominant VPU
     # cost of the rebuild's top-k min-passes -- shrinks
-    # (default_pair_config sizes on lambda/2).  Single-chip the sweep
-    # additionally scans only the HALF SHELL (14 of 27 neighbour cells;
-    # emission side is cell-lexicographic, id order within the self
-    # cell) -- coverage-identical, ~halving the hit-test lanes; every
-    # consumer treats (a, b) symmetrically so which side emits is
-    # irrelevant (test_and_resolve mutual match, research_dirty's full
-    # two-sided 27-cell re-search).  Sharded sweeps keep lower-GID
-    # emission over the full shell: both shards sharing a boundary pair
-    # must keep the same entry from a row inside their windows.
+    # (default_pair_config sizes on lambda/2).  The sweep additionally
+    # scans only the HALF SHELL (14 of 27 neighbour cells; emission
+    # side is cell-lexicographic, id order within the self cell) --
+    # coverage-identical, ~halving the hit-test lanes; every consumer
+    # treats (a, b) symmetrically so which side emits is irrelevant
+    # (test_and_resolve mutual match, research_dirty's full two-sided
+    # 27-cell re-search).  SHARDED windows keep the same rule: cell ids
+    # are global, so both shards sharing a boundary pair agree on the
+    # emitting cell, and that cell is one of the two ENDPOINT cells --
+    # within one cell of a lane either shard must cover, hence inside
+    # both shards' halo-padded swept windows (halo_layers >= 2; ghost
+    # mirrors deeper than the interaction band go stale only for lanes
+    # that cannot touch a local before the next rebuild re-imports
+    # them).  Per-shard top-k truncation may differ across shards (the
+    # min runs on shard-relative lanes); that never loses coverage --
+    # full emissions are queued for each shard's own one-shot re-search
+    # (pending1), exactly as single-chip.
     cands, cell_overflow, (pslot0, mega0, unswept) = \
         collide.cell_candidate_search(
         state.pos, grid, reach=reach, top_k=pcfg.top_k, ids=ids,
         valid=valid_lanes, cell_window=cell_window, one_sided=True,
-        half_shell=(ids is None and cell_window is None),
+        half_shell=True,
     )
     # Cell-table overflow -> HOT, not lost: a particle dropped from the
     # slot planes is invisible to every other particle's search, but a

@@ -344,3 +344,48 @@ def test_active_cell_list_covers_init_and_routes_strays():
                             cfg.physics.collision_range, cfg.dt, plist)
     hot = np.asarray(new.hot)
     assert hot[0], "unswept stray was not routed hot"
+
+
+def test_half_shell_gid_windowed_pair_set():
+    """Half-shell emission under SHARDED lane semantics (gid plane +
+    cell window): with a whole-grid window and a gid permutation (gid
+    != lane), the half-shell one-sided sweep must emit exactly the
+    full-shell one-sided pair set, mapped through gids.  (Cross-window
+    edge coverage is pinned separately by the 4-device bitwise
+    sharded-pairs == sharded-sweep test.)"""
+    key = jax.random.PRNGKey(13)
+    n = 4000
+    eng = amc.EngineConfig(dtype="float64", broadphase="cells")
+    cfg = amc.temperature_pore_config(num_particles_override=n, engine=eng)
+    wl = amc.make_workload(cfg)
+    from argon_monte_carlo_tpu.engine import build_grids
+
+    _, dgrid = build_grids(wl)
+    state = wl.init_fn(key)
+    reach, _ = pairs_ops.reach_radii(
+        state.vel, cfg.physics.collision_range * 12.0, cfg.dt,
+        8, 0.5 * dgrid.cell_size)
+    # gid != lane: reverse permutation (still unique int32 ids).
+    gids = jnp.arange(n - 1, -1, -1, dtype=jnp.int32)
+    valid = jnp.ones((n,), bool)
+    top_k = 24
+
+    def pair_set(half_shell):
+        cands, overflow, _ = collide.cell_candidate_search(
+            state.pos, dgrid, reach=reach, top_k=top_k, ids=gids,
+            valid=valid, cell_window=(0, dgrid.num_cells),
+            one_sided=True, half_shell=half_shell)
+        c = np.asarray(cands)
+        assert (c[:, -1] < 0).all(), "top_k too small for this test"
+        g = np.asarray(gids)
+        i = np.repeat(g, top_k)          # emitter gid
+        j = c.reshape(-1)                # candidate LANE
+        m = j >= 0
+        i, j = i[m], g[j[m]]             # candidate gid
+        return set(zip(np.minimum(i, j).tolist(),
+                       np.maximum(i, j).tolist()))
+
+    full = pair_set(False)
+    half = pair_set(True)
+    assert half == full
+    assert len(full) > 100

@@ -414,6 +414,7 @@ def cell_candidate_search(
     cell_window: tuple | None = None,
     one_sided: bool = False,
     half_shell: bool = False,
+    active_window: tuple | None = None,
 ):
     """Up to ``top_k`` lowest-index in-range candidates per particle.
 
@@ -520,17 +521,26 @@ def cell_candidate_search(
         assert search_radius is not None
         pr = None
 
-    # Active-cell sweep (pairs rebuild, single-chip): iterate only the
-    # static active-cell list -- 30-45% of the region-aware grid's cells
-    # are unreachable box corners/slack whose emission lanes are pure
-    # padding.  Gated on ``reach`` because only the pairs engine has the
-    # hot-set backstop for particles binned outside the list; the
+    # Active-cell sweep (pairs rebuild): iterate only the static
+    # active-cell list -- 30-45% of the region-aware grid's cells are
+    # unreachable box corners/slack whose emission lanes are pure
+    # padding.  Gated on ``reach`` because only the pairs engine has
+    # the hot-set backstop for particles binned outside the list; the
     # per-step sweep narrow phase (search_radius) must sweep every row
     # or a stray's own mutual-match row would silently vanish.
+    # SHARDED windows ride the same list: it is sorted, so a shard's
+    # contiguous cell window maps to a contiguous SLICE of it --
+    # ``active_window`` = (rank of the window's first active cell,
+    # static max slice width over shards).
     use_active = (grid.active_cells is not None and reach is not None
-                  and ids is None and cell_window is None)
+                  and (cell_window is None or active_window is not None))
+    a_start = 0
     if use_active:
-        start, width = 0, int(grid.active_cells.shape[0])
+        if cell_window is None:
+            width = int(grid.active_cells.shape[0])
+        else:
+            a_start, width = active_window
+        start = 0  # emission rows come from the active list
     elif cell_window is None:
         start, width = 0, grid.num_cells
     else:
@@ -597,10 +607,12 @@ def cell_candidate_search(
         # Emission rows are GATHERED through the active list; one far
         # pad row (index num_rows) absorbs list padding, and the
         # neighbour table gets two dummy rows so a padded active id
-        # still reads "all neighbours outside".
+        # still reads "all neighbours outside".  The list is padded by
+        # the full scanned extent because a windowed ``a_start`` may
+        # point anywhere in it (dynamic_slice clamps silently -- same
+        # hazard as the windowed plane slices below).
         pad_rows = 1
-        act_p = jnp.pad(grid.active_cells,
-                        (0, n_chunks * chunk - width),
+        act_p = jnp.pad(grid.active_cells, (0, n_chunks * chunk),
                         constant_values=num_rows)
         nbr_p = jnp.pad(grid.neighbors, ((0, 2), (0, 0)),
                         constant_values=grid.num_cells)
@@ -620,7 +632,8 @@ def cell_candidate_search(
 
     def sweep_chunk(c0):
         if use_active:
-            sel_cells = jax.lax.dynamic_slice_in_dim(act_p, c0, chunk)
+            sel_cells = jax.lax.dynamic_slice_in_dim(act_p, a_start + c0,
+                                                     chunk)
 
             def window(p):
                 return p[sel_cells]
@@ -728,18 +741,19 @@ def cell_candidate_search(
     # N-sized gather; the former slot->particle scatter moved C*cap
     # elements and cost ~5% of the whole step).
     if use_active:
-        # Active mode: cand_flat rows are in active-LIST order; map each
-        # particle's cell through the static rank table.  A particle in
-        # an INACTIVE cell (stray beyond the 0.5-cell margin) was not
-        # swept as an emission row -- report it in ``unswept`` so the
-        # rebuild routes it hot (re-searched both-sided every step,
-        # exactly like a capacity spill).  Table-dropped particles
+        # Active mode: cand_flat rows are in active-LIST order (offset
+        # by ``a_start`` in windowed mode); map each particle's cell
+        # through the static rank table.  A particle in an INACTIVE
+        # cell (stray beyond the 0.5-cell margin) was not swept as an
+        # emission row -- report it in ``unswept`` so the rebuild
+        # routes it hot (re-searched both-sided every step, exactly
+        # like a capacity spill).  Table-dropped particles
         # (pslot == num_cells*cap) are already hot via their own path.
         cell_of = pslot // cap
         arank = grid.active_rank[jnp.minimum(cell_of, grid.num_cells)]
-        covered = arank >= 0
-        rel = arank * cap + pslot % cap
-        rel = jnp.clip(rel, 0, width * cap - 1)
+        rel_row = arank - a_start
+        covered = (arank >= 0) & (rel_row >= 0) & (rel_row < width)
+        rel = jnp.clip(rel_row * cap + pslot % cap, 0, width * cap - 1)
         cands = jnp.where(covered[:, None], cand_flat[rel], -1)
         unswept = (~covered) & (pslot < grid.num_cells * cap)
     else:

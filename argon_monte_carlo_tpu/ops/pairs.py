@@ -130,7 +130,8 @@ def rebuild(state: ParticleState, grid: collide.DeviceGrid,
             pcfg: PairConfig, cr: float, dt: float,
             old: PairList, ids: jnp.ndarray | None = None,
             valid_lanes: jnp.ndarray | None = None,
-            cell_window: tuple | None = None) -> PairList:
+            cell_window: tuple | None = None,
+            active_window: tuple | None = None) -> PairList:
     """Full sweep at per-particle reach -> fresh pair list.
 
     ``ids``/``valid_lanes``/``cell_window`` are the sharded engine's
@@ -168,7 +169,7 @@ def rebuild(state: ParticleState, grid: collide.DeviceGrid,
         collide.cell_candidate_search(
         state.pos, grid, reach=reach, top_k=pcfg.top_k, ids=ids,
         valid=valid_lanes, cell_window=cell_window, one_sided=True,
-        half_shell=True,
+        half_shell=True, active_window=active_window,
     )
     # Cell-table overflow -> HOT, not lost: a particle dropped from the
     # slot planes is invisible to every other particle's search, but a
@@ -205,6 +206,7 @@ def rebuild(state: ParticleState, grid: collide.DeviceGrid,
         valid = valid & valid_lanes[:, None]
         full_mask = full_mask & valid_lanes
         clipped = clipped & valid_lanes
+        unswept = unswept & valid_lanes
     m_cap = pcfg.pair_capacity
     has = jnp.any(valid, axis=1)
     pidx = compact_indices(has, m_cap, n)

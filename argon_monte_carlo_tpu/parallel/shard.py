@@ -73,6 +73,12 @@ class ShardPlan:
     pairs_cell_start: Optional[np.ndarray] = None
     pairs_cell_window: int = 0
     pairs_halo_capacity: int = 0
+    # Active-cell windows (ops/collide Grid.active_cells): the sorted
+    # active list maps each shard's contiguous cell window to a
+    # contiguous slice [active_start[s], active_start[s] + window).
+    # None when the grid has no active list (cube).
+    pairs_active_start: Optional[np.ndarray] = None
+    pairs_active_window: int = 0
     # Migration runs only at block boundaries (every K steps), so the
     # buffer covers K steps of crossings.
     pairs_migration_capacity: int = 0
@@ -164,6 +170,18 @@ def make_shard_plan(workload: Workload, n_shards: int,
         widths_p.append(int(layer_cum[hi] - layer_cum[lo]))
     band_p = density * max_area * pairs_band
     pairs_halo_capacity = int(np.ceil((band_p * 3.0 + 64.0) / 8.0) * 8)
+    if host_grid.active_cells is not None:
+        act = host_grid.active_cells
+        a_lo = np.searchsorted(act, np.asarray(starts_p, np.int64))
+        a_hi = np.searchsorted(
+            act, np.asarray(starts_p, np.int64)
+            + np.asarray(widths_p, np.int64)
+        )
+        pairs_active_start = a_lo.astype(np.int32)
+        pairs_active_window = int((a_hi - a_lo).max())
+    else:
+        pairs_active_start = None
+        pairs_active_window = 0
     k_steps = max(getattr(eng, "rebuild_interval", 1), 1)
     pairs_migration_capacity = int(
         np.ceil((crossings * 8.0 * k_steps + 64.0) / 8.0) * 8
@@ -184,6 +202,8 @@ def make_shard_plan(workload: Workload, n_shards: int,
         pairs_cell_window=max(widths_p),
         pairs_halo_capacity=pairs_halo_capacity,
         pairs_migration_capacity=pairs_migration_capacity,
+        pairs_active_start=pairs_active_start,
+        pairs_active_window=pairs_active_window,
     )
 
 
@@ -599,6 +619,8 @@ class ShardedSimulation:
         park = jnp.asarray(plan.park, dtype)
         slab_z = jnp.asarray(plan.slab_z, dtype)
         cell_start = jnp.asarray(plan.pairs_cell_start)
+        active_start = (None if plan.pairs_active_start is None
+                        else jnp.asarray(plan.pairs_active_start))
         perm_up = [(i, i + 1) for i in range(n_shards - 1)]
         perm_down = [(i + 1, i) for i in range(n_shards - 1)]
         pcfg = pairs_config_for(workload, num_particles=n_comb)
@@ -705,6 +727,10 @@ class ShardedSimulation:
                 comb, grid, pcfg, cr, dt, plist, ids=gid_c,
                 valid_lanes=valid_c,
                 cell_window=(cell_start[me], plan.pairs_cell_window),
+                active_window=(
+                    None if active_start is None
+                    else (active_start[me], plan.pairs_active_window)
+                ),
             )
             ctx = {
                 "plist": plist,

@@ -252,7 +252,7 @@ def pairs_config_for(workload: Workload, num_particles: int | None = None):
     # sizing below is a no-op), but a deliberately THIN capacity
     # (EngineConfig.cell_capacity) shifts rebuild-sweep lanes (~cap^2)
     # into research lanes (~linear) and needs the budgets to follow.
-    from .config import cell_size_for, pairs_cell_capacity_for
+    from .config import pairs_cell_capacity_for
 
     n_sized = cfg.num_molecules if num_particles is None else num_particles
     cap_cells = pairs_cell_capacity_for(
@@ -260,18 +260,22 @@ def pairs_config_for(workload: Workload, num_particles: int | None = None):
     )
     cs = cell_size_for(cfg.engine, physics, cfg.num_molecules,
                        workload.fluid_volume)
-    occ = density * cs**3
-    p = math.exp(-occ)
+    occ = max(density * cs**3, 1e-9)
+    # Log-space Poisson pmf (exp(-occ) underflows above occ ~ 745) and
+    # a tail bound of occ + 10 sqrt(occ) terms past the capacity, so a
+    # thin capacity relative to a LARGE occupancy is not silently
+    # under-sized (the regime this sizing exists for).
     e_spill_per_cell = 0.0
-    for j in range(1, cap_cells + 60):
-        p *= occ / j
+    log_p = -occ  # log P[X = 0]
+    j_hi = max(cap_cells + 60, int(occ + 10.0 * math.sqrt(occ)) + 2)
+    for j in range(1, j_hi):
+        log_p += math.log(occ) - math.log(j)
         if j > cap_cells:
-            e_spill_per_cell += (j - cap_cells) * p
+            e_spill_per_cell += (j - cap_cells) * math.exp(log_p)
     e_spill = (n_sized / max(occ, 1e-9)) * e_spill_per_cell
     spill_hot = int(math.ceil(1.5 * e_spill))
     pcfg = pairs_ops.default_pair_config(
-        cfg.num_molecules if num_particles is None else num_particles,
-        k, pair_expectation=lam, spill_hot=spill_hot,
+        n_sized, k, pair_expectation=lam, spill_hot=spill_hot,
     )
     # The pair list can only cover collisions when the top-k emission
     # captures essentially every in-reach candidate.  Workloads whose

@@ -73,8 +73,9 @@ class Grid:
     # margin); None when every cell is reachable (cube).  The pairs
     # rebuild sweeps ONLY these rows: the per-layer grid is a square box
     # around a circular region, so 30-45% of cells are corner/slack
-    # cells no particle can reach (measured 33% at 1M: 120k of 180k) --
-    # lanes spent sweeping them are pure padding.  Coverage stays exact:
+    # cells no particle can reach (measured at 1M: 60k of 180k cells
+    # unreachable, 33%; 120k stay active) -- lanes spent sweeping them
+    # are pure padding.  Coverage stays exact:
     # a particle binned OUTSIDE the active set (stray beyond the margin)
     # is routed to the HOT set like a capacity spill and re-searches
     # both-sided every step (ops/pairs.rebuild ``unswept``).

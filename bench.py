@@ -58,7 +58,22 @@ def main() -> int:
     )
     cfg = amc.temperature_pore_config(engine=eng).scaled_to(BENCH_PARTICLES)
     n = cfg.num_molecules
-    print(f"bench: N={n} device={jax.devices()[0].device_kind} "
+    try:
+        device_kind = jax.devices()[0].device_kind
+    except RuntimeError as e:
+        # The tunnel's TPU client occasionally comes up wedged
+        # (UNAVAILABLE after a ~25 min init stall) -- a killed prior
+        # process can hold the single grant for a while.  The failure
+        # is cached per-process by jax, so retry by RE-EXEC after a
+        # cooldown, once.
+        if os.environ.get("BENCH_BACKEND_RETRIED") == "1":
+            raise
+        print(f"bench: backend init failed ({e}); retrying once in "
+              f"600s via re-exec", file=sys.stderr, flush=True)
+        time.sleep(600)
+        env = dict(os.environ, BENCH_BACKEND_RETRIED="1")
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
+    print(f"bench: N={n} device={device_kind} "
           f"warmup={WARMUP_STEPS} timed={TIMED_STEPS}", file=sys.stderr)
 
     workload = amc.make_workload(cfg)

@@ -344,6 +344,9 @@ def test_active_cell_list_covers_init_and_routes_strays():
                             cfg.physics.collision_range, cfg.dt, plist)
     hot = np.asarray(new.hot)
     assert hot[0], "unswept stray was not routed hot"
+    # The stray must be VISIBLE in telemetry (counted as a spill), not
+    # a silent throughput sink.
+    assert int(new.spill) >= 1, "unswept stray not counted as a spill"
 
 
 def test_half_shell_gid_windowed_pair_set():

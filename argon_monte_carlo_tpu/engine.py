@@ -408,9 +408,10 @@ def make_pairs_step_fn(workload: Workload, device_grid, host_grid):
         research_dropped = jnp.sum(dirty, dtype=jnp.int32) - jnp.sum(
             dirty_idx < n, dtype=jnp.int32
         )
-        plist, research_lost = pairs_ops.research_dirty(
+        plist, research_lost, latent_per = pairs_ops.research_dirty(
             state, plist, dirty_idx, bump, device_grid, pcfg, cr, dt
         )
+        latent_research = jnp.sum(latent_per, dtype=jnp.int32)
         # One-shot queue consumed (research_dropped > 0 forces a rebuild
         # anyway, so clearing unconditionally never loses coverage).
         plist.pending1 = jnp.zeros_like(plist.pending1)
@@ -455,6 +456,7 @@ def make_pairs_step_fn(workload: Workload, device_grid, host_grid):
             dirty_count=jnp.sum(dirty, dtype=jnp.int32),
             latent_full=latent_full,
             teleports=jnp.sum(recap_w | recap_p, dtype=jnp.int32),
+            latent_research=latent_research,
         )
         return (state, measure, base_key, plist), metrics
 

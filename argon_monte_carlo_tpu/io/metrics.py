@@ -52,6 +52,14 @@ class MetricsLogger:
             "energy_cold_sum": float(m["energy_cold"].sum()),
             "oob_after_walls": int(m["oob_after_walls"].sum()),
             "oob_after_pairs": int(m["oob_after_pairs"].sum()),
+            # Verlet-engine observability (zeros in sweep mode): epoch
+            # sums of the rebuild/dirty/latency counters (state.py
+            # StepMetrics docstrings).
+            "rebuilds": int(m["rebuilt"].sum()),
+            "dirty_count": int(m["dirty_count"].sum()),
+            "latent_full": int(m["latent_full"].sum()),
+            "teleports": int(m["teleports"].sum()),
+            "latent_research": int(m["latent_research"].sum()),
             "particle_steps_per_sec": n_steps * num_particles / window,
             "session_particle_steps_per_sec": (
                 self._steps_done * num_particles / max(now - self._t0, 1e-9)

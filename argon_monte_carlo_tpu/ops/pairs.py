@@ -28,12 +28,20 @@ pair-list form (VERDICT r1 item 5), with a rigorous coverage argument:
   every remaining step -- closing coverage exactly.
 * ONE-STEP LATENCY (the precise sense in which coverage is "exact",
   ADVICE r2): dirty re-search runs at the END of a step, so (a) a
-  rebuild-time full top-k emission and (b) a recapture teleport only
-  join the candidate list for the NEXT step -- an overlap such a
-  particle forms in the very step of the event resolves one step later
-  than the per-step sweep would resolve it.  Both event classes are
-  counted per step (StepMetrics.latent_full / .teleports; measured 0
-  and ~1e-6 N respectively at reference density with top_k=5), and a
+  rebuild-time full top-k emission, (b) a recapture teleport, and (c)
+  an energized-wall speed BOOST only join the candidate list for the
+  NEXT step -- an overlap such a particle forms in the very step of
+  the event resolves one step later than the per-step sweep would
+  resolve it.  For (c) the reachable slack is the post-wall replay,
+  bounded by v_new*dt beyond the rebuild allowance (v_new <=
+  max(v_old, ~313 m/s): the Debye surface energies sit BELOW the
+  thermal mean, so energized walls mostly cool) -- an unlisted pair
+  can close that slack only from the outermost shell of the reach
+  threshold with near-head-on alignment.  All classes are counted per
+  step: the potential-event counters StepMetrics.latent_full /
+  .teleports (measured 0 and ~1e-6 N at reference density) and the
+  REALIZED indicator StepMetrics.latent_research (research-appended
+  candidates already within cr of their stored position), and a
   hot particle fast enough to outrun even fresh-position re-search
   (per-step drift > 0.5*cell_size - cr/2, i.e. ~40 km/s at pore
   resolution vs ~400 m/s thermal) is counted into ``overflow``.
@@ -419,7 +427,10 @@ def research_dirty(
     entirely and are instead kept in the HOT set (re-searched with fresh
     position every step), closing coverage exactly.
 
-    Returns (pairs, coverage_lost).
+    Returns (pairs, coverage_lost, latent_per) where ``latent_per`` is
+    the (E,) per-dirty-particle count of candidates already within cr
+    of their stored position (the realized one-step-latency indicator;
+    see the inline comment at the hit test).
     """
     n = state.pos.shape[0]
     cap = grid.capacity
@@ -500,6 +511,20 @@ def research_dirty(
         not_self = cgid != ids.astype(jnp.int32)[safe][:, None]
     hit = (d2 < thresh * thresh) & not_self \
         & valid[:, None] & (cix >= 0) & (cix < n)
+    # Realized one-step-latency diagnostic: candidates ALREADY within
+    # cr of their stored rebuild-time position at research time.  Such
+    # an overlap resolves next step (research runs after this step's
+    # narrow phase) where the per-step sweep would resolve it this
+    # step -- the measured counterpart of the module docstring's
+    # latency classes, including the energized-wall replay edge (a
+    # just-boosted particle's post-wall replay can close an unlisted
+    # gap within the same step; bounded by v_new*dt of slack, see
+    # StepMetrics.latent_research).  Stored positions lag true ones by
+    # consumed reach, so this is an indicator, not an exact event
+    # count.
+    latent_per = jnp.sum(
+        hit & (d2 < cr * cr), axis=-1
+    ).astype(jnp.int32)
 
     # Top-k lowest-index candidates per dirty particle.
     masked = jnp.where(hit, cix, INT_BIG)
@@ -557,7 +582,7 @@ def research_dirty(
     # Any truncation here is a potential coverage hole; the engine
     # forces a full rebuild on the next step when this fires.
     lost = (res_overflow + app_dropped + cap_dropped) > 0
-    return pairs, lost
+    return pairs, lost, latent_per
 
 
 def default_pair_config(n: int, rebuild_interval: int,

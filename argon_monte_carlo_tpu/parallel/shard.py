@@ -901,9 +901,18 @@ class ShardedSimulation:
                 )
                 research_dropped = jnp.sum(dirty, dtype=jnp.int32) - \
                     jnp.sum(dirty_idx < n_comb, dtype=jnp.int32)
-                plist, research_lost = pairs_ops.research_dirty(
+                plist, research_lost, latent_per = pairs_ops.research_dirty(
                     comb, plist, dirty_idx, bump_c, grid, pcfg, cr, dt,
                     ids=gid_c,
+                )
+                # Local dirty lanes only, so the psum'd total matches
+                # single-chip semantics (ghost researches mirror the
+                # owner's).
+                d_safe = jnp.clip(dirty_idx, 0, n_comb - 1)
+                latent_research = jnp.sum(
+                    jnp.where((dirty_idx < n_comb) & local_c[d_safe],
+                              latent_per, 0),
+                    dtype=jnp.int32,
                 )
                 # Derived (not fresh) zeros: inside shard_map the scan
                 # carry must keep its varying-axes type.
@@ -958,6 +967,7 @@ class ShardedSimulation:
                     ),
                     latent_full=jax.lax.psum(latent_full, AXIS),
                     teleports=jax.lax.psum(teleports, AXIS),
+                    latent_research=jax.lax.psum(latent_research, AXIS),
                 )
                 return (state, measure, plist), metrics
 

@@ -171,3 +171,11 @@ class StepMetrics:
         default_factory=lambda: jnp.zeros((), jnp.int32))
     teleports: jax.Array = dataclasses.field(
         default_factory=lambda: jnp.zeros((), jnp.int32))
+    # REALIZED latency indicator: dirty-researched candidates already
+    # within cr of their stored rebuild-time position -- overlaps that
+    # resolve one step later than the per-step sweep would (includes
+    # the energized-wall replay edge; ops/pairs.py module docstring).
+    # Stored positions lag true ones, so treat as an indicator rather
+    # than an exact event count.
+    latent_research: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))

@@ -120,6 +120,16 @@ def main():
             return jax.lax.dynamic_slice(sorted_pad, (s, 0), (cap, P))
         return jax.vmap(row)(starts)                   # (rows, cap, P)
 
+    def slice_rows_1d(sorted_flat_pad, starts):
+        # 1D formulation: one (cap*P,)-wide contiguous window per cell
+        # from the flattened sorted array.  The 2D (cap, P) slice could
+        # plausibly lower as cap separate row-reads; a flat window is
+        # the closest HLO shape to the measured fixed-cost row gather.
+        def row(s):
+            return jax.lax.dynamic_slice(sorted_flat_pad, (s * P,),
+                                         (cap * P,))
+        return jax.vmap(row)(starts).reshape(-1, cap, P)
+
     def fixup(sliced, counts):
         k = jnp.arange(cap, dtype=jnp.int32)
         ok = k[None, :, None] < counts[:, None, None]
@@ -160,8 +170,11 @@ def main():
            jax.jit(pipeline_b), cell_id, gath)
     timeit("c. multi-operand sort + slice + fixup",
            jax.jit(pipeline_c), cell_id, gath)
-    timeit("d. slice-gather alone", jax.jit(slice_rows),
+    timeit("d. slice-gather alone (2D)", jax.jit(slice_rows),
            sorted_pad, starts)
+    sorted_flat = sorted_pad.reshape(-1)
+    timeit("d2. slice-gather alone (1D flat)", jax.jit(slice_rows_1d),
+           sorted_flat, starts)
     timeit("e. fixup alone", jax.jit(fixup), sliced, counts)
     timeit("   argsort alone", jax.jit(jnp.argsort), cell_id)
     timeit("   row-gather alone", jax.jit(lambda g, o: g[o]),

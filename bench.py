@@ -81,6 +81,24 @@ def main() -> int:
     state, measure, key = sim.init()
     jax.block_until_ready(state.pos)
 
+    # Derived pair-check rate (BASELINE.md tracked metric): exact
+    # narrow-phase tests per step = the listed-pair buffer width (every
+    # entry is one d^2 < cr^2 test), plus the rebuild sweep's hit-test
+    # lanes amortized over the K-step window (pairs mode; the sweep
+    # engine re-tests its full lane volume every step).
+    if eng.narrowphase == "pairs":
+        from argon_monte_carlo_tpu.engine import pairs_config_for
+        pcfg = pairs_config_for(workload)
+        g = sim._hgrid
+        rows = (g.active_cells.shape[0] if g.active_cells is not None
+                else g.num_cells)
+        sweep_lanes = rows * g.capacity * 14 * g.capacity
+        checks_per_step = (pcfg.pair_capacity
+                           + sweep_lanes / max(eng.rebuild_interval, 1))
+    else:
+        g = sim._hgrid
+        checks_per_step = g.num_cells * g.capacity * 27 * g.capacity
+
     t0 = time.time()
     state, measure, _ = sim.run(
         num_steps=WARMUP_STEPS, state=state, measure=measure, run_key=key
@@ -136,6 +154,7 @@ def main() -> int:
         "epoch_times_sec": [round(t, 3) for t in epoch_times],
         "median_epoch_sec": round(median, 3),
         "steps_per_sec": value / n,
+        "pair_checks_per_sec": (value / n) * checks_per_step,
         "collisions": int(sim.finalize_measure(measure).collision_count),
         "checksum": checksum,
         "device": jax.devices()[0].device_kind,

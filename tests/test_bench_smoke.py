@@ -1,0 +1,43 @@
+"""bench.py end-to-end smoke on CPU.
+
+The driver records BENCH_r{N}.json from bench.py's single JSON line;
+a harness regression (bad JSON, missing keys, a crash in the derived
+metrics) would surface only at round end on real hardware.  Run the
+script as a subprocess at tiny scale on the CPU backend and validate
+the contract.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_script_prints_contract_json():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["BENCH_PARTICLES"] = "20000"
+    env["BENCH_SPE"] = "8"
+    env["BENCH_WARMUP_STEPS"] = "8"
+    env["BENCH_STEPS"] = "16"
+    env["JAX_CACHE_DIR"] = "/tmp/jax_argon_cache_tests"
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [repo, env.get("PYTHONPATH", "")] if p
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=600, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = proc.stdout.strip().splitlines()[-1]
+    result = json.loads(line)
+    for key in ("metric", "value", "unit", "vs_baseline",
+                "elapsed_throughput", "pair_checks_per_sec",
+                "collisions", "median_epoch_sec"):
+        assert key in result, key
+    assert result["value"] > 0
+    assert result["unit"] == "particle-steps/sec/chip"
+    assert result["particles"] == 20000 or result["particles"] == 19999
+    assert result["collisions"] > 0

@@ -349,6 +349,59 @@ def test_active_cell_list_covers_init_and_routes_strays():
     assert int(new.spill) >= 1, "unswept stray not counted as a spill"
 
 
+def test_latent_research_counter_fires():
+    """StepMetrics.latent_research is the REALIZED one-step-latency
+    indicator (a457f93 / ADVICE r2): a dirty particle whose re-search
+    finds a candidate already within cr of its stored rebuild-time
+    position resolves that overlap one step later than the per-step
+    sweep would.  Provoke it directly: teleport a particle onto a
+    neighbour's stored position and assert (a) the counter fires, (b)
+    the pair is appended so it does resolve next step, and (c) the
+    counter is SILENT for an in-place research (no false positives at
+    equilibrium spacing)."""
+    key = jax.random.PRNGKey(7)
+    n = 4000
+    eng = amc.EngineConfig(dtype="float64", broadphase="cells",
+                           narrowphase="pairs", rebuild_interval=8)
+    cfg = amc.temperature_pore_config(num_particles_override=n, engine=eng)
+    wl = amc.make_workload(cfg)
+    from argon_monte_carlo_tpu.engine import build_grids, pairs_config_for
+
+    _, dgrid = build_grids(wl)
+    state = wl.init_fn(key)
+    cr = cfg.physics.collision_range
+    pcfg = pairs_config_for(wl)
+    plist = pairs_ops.PairList.init(n, dgrid, pcfg, jnp.dtype("float64"))
+    plist = pairs_ops.rebuild(state, dgrid, pcfg, cr, cfg.dt, plist)
+
+    dirty = jnp.full((pcfg.research_capacity,), n, jnp.int32).at[0].set(0)
+    bump = jnp.zeros((n,), bool)
+
+    # (c) in-place research: particle 0 sits where the rebuild stored
+    # it, and equilibrium spacing at this N is >> cr, so no candidate
+    # is an already-realized overlap.
+    _, lost0, latent0 = pairs_ops.research_dirty(
+        state, plist, dirty, bump, dgrid, pcfg, cr, cfg.dt)
+    assert not bool(lost0)
+    assert int(latent0.sum()) == 0
+
+    # (a)+(b) teleport particle 0 to 0.5*cr from particle 1's stored
+    # rebuild-time position (particle 1 has not moved since rebuild).
+    pos = np.asarray(state.pos).copy()
+    pos[0] = pos[1] + np.array([0.5 * cr, 0.0, 0.0])
+    state.pos = jnp.asarray(pos, state.pos.dtype)
+    new, lost1, latent1 = pairs_ops.research_dirty(
+        state, plist, dirty, bump, dgrid, pcfg, cr, cfg.dt)
+    assert not bool(lost1)
+    assert int(latent1[0]) >= 1, "realized overlap not counted"
+    a = np.asarray(new.a)
+    b = np.asarray(new.b)
+    live = (a < n) & (b < n)
+    entries = set(zip(np.minimum(a[live], b[live]).tolist(),
+                      np.maximum(a[live], b[live]).tolist()))
+    assert (0, 1) in entries, "realized overlap not appended for resolve"
+
+
 def test_half_shell_gid_windowed_pair_set():
     """Half-shell emission under SHARDED lane semantics (gid plane +
     cell window): with a whole-grid window and a gid permutation (gid

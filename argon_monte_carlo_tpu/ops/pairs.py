@@ -605,12 +605,28 @@ def default_pair_config(n: int, rebuild_interval: int,
     import math
 
     lam = 0.5 if pair_expectation is None else pair_expectation
-    # The rebuild sweep is ONE-SIDED (each pair emitted once, from its
-    # cell-lexicographically-lower side), so the per-particle emission
-    # count is a Poisson thinning of lam at rate 1/2.
-    lam_emit = lam / 2.0
+    # Per-particle EMISSION tail.  The sweep is one-sided (each pair
+    # emitted once, from its cell-lexicographically-lower side), which
+    # halves the MEAN emission count -- but ownership is NOT an iid
+    # 1/2-thinning per pair: within a cell the lowest ids own nearly
+    # all their pairs, and a particle whose cell precedes its 14
+    # half-shell neighbours owns every cross-cell pair it touches.  The
+    # tail of the per-particle emission count is therefore governed by
+    # the FULL candidate rate lam, not lam/2, further overdispersed by
+    # the Maxwell reach mixture (reach_i ~ cr/2 + |v_i| K dt, so fast
+    # particles see a larger in-reach volume).  Measured at 10M / K=8
+    # (CPU probe, round 3): 34,352 full emissions per steady-state
+    # rebuild at top_k=3 vs 770 predicted by the old Poisson(lam/2)
+    # model and 11,000 by Poisson(lam) -- a 3.1x mixture factor on the
+    # full-lam tail.  OVERDISP=3.5 calibrates that measurement with
+    # margin; the old lam/2 model undersized the one-shot research
+    # budget 45x at 10M (every 8th step dropped ~24k researches,
+    # counted in overflow_count but a standing coverage degradation vs
+    # the per-step sweep).
+    lam_emit = lam
+    OVERDISP = 3.5
     # lambda-aware top_k (VERDICT r2 weak #7, the K=12 cliff): the
-    # rebuild-time full-emission count is ~ n * P[Poisson > top_k];
+    # rebuild-time full-emission count is ~ n * P[emissions > top_k];
     # at fixed top_k=5, K=12 (lam ~ 1.0) produced a burst that blew the
     # one-shot research budget and degenerated into a rebuild storm.
     # Grow top_k until the expected full emissions fit ~1/4 of the
@@ -620,13 +636,13 @@ def default_pair_config(n: int, rebuild_interval: int,
     # the rebuild's dominant VPU cost.
     research = max(4096, n // 256)
     top_k = 3
-    def tail(k):  # P[Poisson(lam_emit) >= k]
+    def tail(k):  # OVERDISP * P[Poisson(lam_emit) >= k]
         p = math.exp(-lam_emit)
         cdf = p
         for i in range(1, k):
             p *= lam_emit / i
             cdf += p
-        return max(1.0 - cdf, 0.0)
+        return OVERDISP * max(1.0 - cdf, 0.0)
     while top_k < 12 and n * tail(top_k + 1) > research / 4:
         top_k += 1
     burst = int(n * tail(top_k + 1)) + 64

@@ -349,6 +349,36 @@ def test_active_cell_list_covers_init_and_routes_strays():
     assert int(new.spill) >= 1, "unswept stray not counted as a spill"
 
 
+def test_pair_config_covers_measured_10m_burst():
+    """The emission-tail model behind default_pair_config must cover the
+    MEASURED rebuild burst at 10M (CPU probe, round 3): at the old
+    Poisson(lam/2) model, top_k stayed 3 and every steady-state rebuild
+    emitted 34,352 full emissions against a 39,517 research budget
+    already carrying ~13.5k collision bumps -- every 8th step dropped
+    ~24k researches (counted, but a standing coverage degradation vs
+    the sweep).  The corrected model (full-lam tail, ownership is not
+    an iid 1/2-thinning, x3.5 Maxwell-mixture overdispersion) picks
+    top_k=4, measured 4,389 full emissions and ZERO steady-state
+    overflow at 10M (dirty 16,279 vs capacity 39,517).  Pin the sizing
+    against those measurements."""
+    eng = amc.EngineConfig(dtype="float32", broadphase="cells",
+                           narrowphase="pairs", rebuild_interval=8)
+    from argon_monte_carlo_tpu.engine import pairs_config_for
+
+    MEASURED_STEADY_REBUILD_DIRTY_10M = 16279   # probe 2026-08-18
+    cfg10 = amc.temperature_pore_config(engine=eng).scaled_to(10_000_000)
+    p10 = pairs_config_for(amc.make_workload(cfg10))
+    assert p10.top_k >= 4
+    assert p10.research_capacity >= 1.5 * MEASURED_STEADY_REBUILD_DIRTY_10M
+    # The burst scales ~linearly with N at fixed density/K: the same
+    # coverage must hold at 1M (measured round-3 bench scale).
+    cfg1 = amc.temperature_pore_config(engine=eng).scaled_to(1_000_000)
+    p1 = pairs_config_for(amc.make_workload(cfg1))
+    assert p1.top_k >= 4
+    assert p1.research_capacity >= 1.5 * (MEASURED_STEADY_REBUILD_DIRTY_10M
+                                          / 10.0)
+
+
 def test_latent_research_counter_fires():
     """StepMetrics.latent_research is the REALIZED one-step-latency
     indicator (a457f93 / ADVICE r2): a dirty particle whose re-search

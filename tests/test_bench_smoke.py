@@ -41,3 +41,27 @@ def test_bench_script_prints_contract_json():
     assert result["unit"] == "particle-steps/sec/chip"
     assert result["particles"] == 20000 or result["particles"] == 19999
     assert result["collisions"] > 0
+
+
+def test_bench_stale_fallback_contract():
+    """When the TPU backend is down at bench time (Aug 17-18 2026
+    outage: 24h+ of UNAVAILABLE client inits), bench.py must still emit
+    one contract-valid JSON line -- the committed on-chip measurement,
+    unmistakably labelled stale -- instead of exiting with nothing."""
+    import bench
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = bench._emit_stale_fallback(RuntimeError("UNAVAILABLE"))
+    assert rc == 0
+    result = json.loads(buf.getvalue().strip().splitlines()[-1])
+    for key in ("metric", "value", "unit", "vs_baseline"):
+        assert key in result, key
+    assert result["stale"] is True
+    assert result["metric"].startswith("STALE")
+    assert "UNAVAILABLE" in result["stale_reason"]
+    assert result["stale_source"].startswith("runs/bench/")
+    assert result["value"] > 0

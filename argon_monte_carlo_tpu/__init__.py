@@ -14,6 +14,8 @@ __version__ = "0.1.0"
 from . import config, engine, geometry, init, physics, rng, state  # noqa: F401
 from .config import CubeConfig, EngineConfig, PoreConfig, temperature_pore_config  # noqa: F401
 from .engine import Simulation, Workload  # noqa: F401
+from .geometry import CubeGeometry, PoreGeometry  # noqa: F401
+from .physics import GasPhysics  # noqa: F401
 from .models import (  # noqa: F401
     make_cube_workload,
     make_pore_workload,

@@ -113,3 +113,21 @@ def test_gap_energy_table_interpolation():
     np.testing.assert_allclose(got, expected, rtol=1e-6)
     # Ends: hot at bottom, cold at top; hot > cold.
     assert table.energies[0] > table.energies[-1]
+
+
+def test_top_level_api_exports():
+    """The spellings documented in docs/MIGRATION.md construct and agree
+    with the reference constant block (Temperature_Pore_MC.py:28-110)."""
+    import argon_monte_carlo_tpu as amc
+
+    geo = amc.PoreGeometry()
+    assert geo.pore_coated_radius == 30e-9
+    assert geo.gap_extra_radius == 4e-9
+    assert amc.CubeGeometry().lx == 100e-9
+    gas = amc.GasPhysics()
+    assert gas.sigma == 3.6e-19
+    assert gas.collision_radius_factor == 1.0
+    cfg = amc.temperature_pore_config()
+    assert (cfg.seed, cfg.t_cold, cfg.t_hot) == (17, 293.0, 353.0)
+    assert cfg.cone_half_angle_deg == 85.0
+    assert cfg.nmft * cfg.steps_per_mft == 20_000

@@ -58,7 +58,52 @@ def _emit_stale_fallback(err: Exception) -> int:
     return 0
 
 
+def _backend_probe_ok() -> tuple[bool, str]:
+    """Bounded backend liveness probe in a SUBPROCESS.
+
+    During the Aug 2026 outage a dead tunnel stalled ~25 min per
+    in-process client init, so the path to the stale fallback was two
+    stalls plus a 600 s cooldown (~60 min) -- long enough to risk the
+    driver's own timeout recording NOTHING.  A healthy init completes
+    in well under a minute, so probing in a throwaway subprocess with a
+    hard deadline bounds the dead-tunnel path to ~12 min while leaving
+    the healthy path untouched.  Disabled on the CPU backend (tests)
+    or with BENCH_PROBE_TIMEOUT=0.
+    """
+    import subprocess
+    timeout = int(os.environ.get("BENCH_PROBE_TIMEOUT", 420))
+    if timeout <= 0 or os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return True, "probe disabled"
+    code = "import jax; print(jax.devices()[0].device_kind)"
+    reason = "unknown"
+    for attempt in (1, 2):
+        t0 = time.time()
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code], timeout=timeout,
+                capture_output=True, text=True,
+            )
+            if out.returncode == 0:
+                return True, out.stdout.strip()
+            tail = (out.stderr or "").strip().splitlines()
+            reason = tail[-1] if tail else f"probe rc={out.returncode}"
+        except subprocess.TimeoutExpired:
+            reason = f"probe timeout after {timeout}s"
+        print(f"bench: backend probe attempt {attempt} failed after "
+              f"{time.time()-t0:.0f}s ({reason})",
+              file=sys.stderr, flush=True)
+        if attempt == 1:
+            time.sleep(int(os.environ.get("BENCH_PROBE_COOLDOWN", 180)))
+    return False, reason
+
+
 def main() -> int:
+    ok, why = _backend_probe_ok()
+    if not ok:
+        return _emit_stale_fallback(
+            RuntimeError(f"backend liveness probe failed: {why}")
+        )
+
     import jax
 
     # Persistent compile cache: XLA compiles through this environment's

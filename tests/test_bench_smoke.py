@@ -65,3 +65,28 @@ def test_bench_stale_fallback_contract():
     assert "UNAVAILABLE" in result["stale_reason"]
     assert result["stale_source"].startswith("runs/bench/")
     assert result["value"] > 0
+
+
+def test_bench_probe_failure_bounds_to_stale_line():
+    """A dead backend must resolve to the STALE contract line in
+    bounded time (the in-process init can stall ~25 min; the probe
+    subprocess is hard-deadlined).  JAX_PLATFORMS=tpu has no plugin in
+    this image, so the probe fails fast and deterministically."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "tpu"
+    env["BENCH_PROBE_TIMEOUT"] = "60"
+    env["BENCH_PROBE_COOLDOWN"] = "1"
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [repo, env.get("PYTHONPATH", "")] if p
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=300, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["stale"] is True
+    assert "probe failed" in result["stale_reason"]
+    assert result["value"] > 0

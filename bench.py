@@ -24,7 +24,12 @@ BENCH_PARTICLES = int(os.environ.get("BENCH_PARTICLES", 1_000_000))
 # epoch into K-step blocks between separately-jitted rebuilds).
 STEPS_PER_EPOCH = int(os.environ.get("BENCH_SPE", 48))
 WARMUP_STEPS = int(os.environ.get("BENCH_WARMUP_STEPS", STEPS_PER_EPOCH))
-TIMED_STEPS = int(os.environ.get("BENCH_STEPS", 2 * STEPS_PER_EPOCH))
+# 5 timed epochs: with 2, sorted()[len//2] lands on the WORSE epoch, and
+# identical epochs vary up to ~3x through the TPU tunnel (the 2026-08-19
+# 1M run recorded 2.02e7 from epochs [2.38s, 1.88s] where the committed
+# half-shell run had measured 2.55e7).  Five epochs cost ~10 s at 1M
+# against a multi-minute compile and give a true middle value.
+TIMED_STEPS = int(os.environ.get("BENCH_STEPS", 5 * STEPS_PER_EPOCH))
 NORTH_STAR = 1e9  # particle-steps/sec/chip (BASELINE.json north_star)
 
 

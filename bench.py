@@ -40,10 +40,13 @@ def _emit_stale_fallback(err: Exception) -> int:
     number, emit the most recent COMMITTED on-chip measurement of this
     workload, unmistakably labelled stale -- the value was measured on
     the same chip, just not at bench time."""
+    # Default: the most recent committed on-chip measurement of the
+    # SHIPPING program (ADVICE r3: the halfshell artifact predates the
+    # active-cells sweep and would overstate an outage fallback ~26%).
     path = os.environ.get(
         "BENCH_STALE_SOURCE",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "runs", "bench", "bench_1m_r3_halfshell.json"),
+                     "runs", "bench", "bench_1m_r3_active.json"),
     )
     try:
         with open(path) as f:
@@ -114,9 +117,13 @@ def main() -> int:
     # Persistent compile cache: XLA compiles through this environment's
     # remote-compile tunnel take minutes (1M) to hours (10M); cached
     # executables load in seconds on repeat runs of the same program.
+    # Durable default ($HOME, not /tmp): the 2026-08-19 host restart
+    # wiped /tmp mid-round, destroying both compile caches right before
+    # the 10M north-star attempt needed them (VERDICT r3 weak 3).
     jax.config.update(
         "jax_compilation_cache_dir",
-        os.environ.get("JAX_CACHE_DIR", "/tmp/jax_argon_cache"),
+        os.environ.get("JAX_CACHE_DIR",
+                       os.path.expanduser("~/.cache/jax_argon")),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

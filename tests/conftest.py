@@ -32,7 +32,8 @@ jax.config.update("jax_enable_x64", True)
 # load those executables from disk.
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.environ.get("ARGON_TEST_CACHE_DIR", "/tmp/jax_argon_cache_tests"),
+    os.environ.get("ARGON_TEST_CACHE_DIR",
+                   os.path.expanduser("~/.cache/jax_argon_tests")),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 

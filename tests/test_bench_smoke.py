@@ -22,7 +22,7 @@ def test_bench_script_prints_contract_json():
     env["BENCH_SPE"] = "8"
     env["BENCH_WARMUP_STEPS"] = "8"
     env["BENCH_STEPS"] = "16"
-    env["JAX_CACHE_DIR"] = "/tmp/jax_argon_cache_tests"
+    env["JAX_CACHE_DIR"] = os.path.expanduser("~/.cache/jax_argon_tests")
     env["PYTHONPATH"] = os.pathsep.join(
         p for p in [repo, env.get("PYTHONPATH", "")] if p
     )

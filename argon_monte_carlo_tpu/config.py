@@ -61,6 +61,17 @@ class EngineConfig:
     # Verlet-list amortization window K; reach = cr/2 + |v| K dt).
     # narrowphase="sweep" requires 1 (it re-sweeps every step).
     rebuild_interval: int = 1
+    # Max N for the FUSED whole-window program in narrowphase="pairs"
+    # (rebuild + K steps jitted as one program).  Fusing amortizes the
+    # per-dispatch tunnel overhead (~ms each) across the window, but the
+    # combined HLO roughly doubles compile time vs the split
+    # rebuild/block programs; measured on this environment's
+    # remote-compile tunnel the fused 1M program compiles in minutes
+    # while pre-split 10M compiles died at 90/150 min -- so above this N
+    # the engine always interleaves the two split programs.  Trajectories
+    # are bitwise identical either way
+    # (tests/test_pairs.py::test_fused_epoch_matches_split_blocks_bitwise).
+    fused_epoch_max_particles: int = 2_000_000
     # Re-evaluate every wall-case predicate after the wall phase and
     # report residual counts per step (the reference's "missed case"
     # audit, Open_Air_Pore_MC.py:488-511).  Costs one extra pass.

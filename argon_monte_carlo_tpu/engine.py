@@ -595,9 +595,11 @@ class Simulation:
             self._window_left = 0
         k = max(self.cfg.engine.rebuild_interval, 1)
         # The fused whole-window program amortizes per-dispatch tunnel
-        # overhead; above this N its (rebuild + step in one program)
-        # compile time becomes the wall (the 10M path stays split).
-        fused_ok = self.cfg.num_molecules <= 2_000_000
+        # overhead; above the configured N its (rebuild + step in one
+        # program) compile time becomes the wall (the 10M path stays
+        # split).  See EngineConfig.fused_epoch_max_particles.
+        fused_ok = (self.cfg.num_molecules
+                    <= self.cfg.engine.fused_epoch_max_particles)
         outs = []
         i, total = 0, int(step_indices.shape[0])
         while i < total:

@@ -207,7 +207,7 @@ def test_fused_epoch_matches_split_blocks_bitwise():
     cfg = amc.temperature_pore_config(num_particles_override=n,
                                       engine=eng)
     sim_f = amc.Simulation(amc.make_workload(cfg))
-    assert cfg.num_molecules <= 2_000_000  # fused path active
+    assert cfg.num_molecules <= eng.fused_epoch_max_particles  # fused
     st_f, m_f, met_f = sim_f.run(num_steps=steps)
 
     # Epochs of non-window-aligned length never satisfy the fused
@@ -226,6 +226,20 @@ def test_fused_epoch_matches_split_blocks_bitwise():
     assert int(m_f.collision_count) == int(m_s.collision_count)
     np.testing.assert_array_equal(np.asarray(met_f.rebuilt),
                                   np.asarray(met_s.rebuilt))
+
+    # The config knob itself (fused_epoch_max_particles=0 forces the
+    # split path at window-aligned epoch lengths -- the 10M regime's
+    # dispatch structure) must also be trajectory-identical.
+    eng3 = dc.replace(eng, fused_epoch_max_particles=0)
+    cfg3 = amc.temperature_pore_config(num_particles_override=n,
+                                       engine=eng3)
+    sim_k = amc.Simulation(amc.make_workload(cfg3))
+    st_k, m_k, met_k = sim_k.run(num_steps=steps)
+    np.testing.assert_array_equal(np.asarray(st_f.pos), np.asarray(st_k.pos))
+    np.testing.assert_array_equal(np.asarray(st_f.vel), np.asarray(st_k.vel))
+    assert int(m_f.collision_count) == int(m_k.collision_count)
+    np.testing.assert_array_equal(np.asarray(met_f.rebuilt),
+                                  np.asarray(met_k.rebuilt))
 
 
 def test_compact_indices_matches_nonzero_contract():

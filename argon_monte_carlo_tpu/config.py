@@ -116,6 +116,13 @@ class CubeConfig:
     engine: EngineConfig = EngineConfig(broadphase="allpairs")
     # Optional override of the derived molecule count (for tests/benches).
     num_particles_override: Optional[int] = None
+    # Strict C8 fidelity: stratify the position init like the reference
+    # (floor(N/cells) particles uniform within each of init_cells_per_axis^3
+    # cells, remainder uniform over the box; Open_Air_Cube_MC.py:144-156).
+    # Default False: plain uniform has the identical single-particle
+    # distribution (stratification is only a variance reduction).
+    stratified_init: bool = False
+    init_cells_per_axis: int = 15  # Open_Air_Cube_MC.py:30
 
     @property
     def num_molecules(self) -> int:

@@ -28,7 +28,9 @@ def init_cube(cfg: CubeConfig, key: jax.Array) -> ParticleState:
     -- which is exactly a stratified uniform sample of the box.  Plain
     uniform sampling has the same single-particle distribution; the slight
     variance reduction of stratification has no effect on any measured
-    output, so we keep the simpler (and fully parallel) uniform fill.
+    output, so the default is the simpler uniform fill.
+    ``CubeConfig.stratified_init=True`` selects the strict reference
+    scheme (vectorized, one draw per cell block).
     """
     n = cfg.num_molecules
     dtype = _dtype(cfg.engine)
@@ -36,7 +38,26 @@ def init_cube(cfg: CubeConfig, key: jax.Array) -> ParticleState:
     extent = jnp.asarray(
         [cfg.geometry.lx, cfg.geometry.ly, cfg.geometry.lz], dtype
     )
-    pos = jax.random.uniform(kp, (n, 3), dtype) * extent
+    if cfg.stratified_init:
+        # Strict reference scheme (Open_Air_Cube_MC.py:144-156),
+        # vectorized: q = floor(N/cells) particles uniform inside each
+        # cell (one (cells, q, 3) draw offset by the cell origins), the
+        # remainder uniform over the whole box.
+        c = cfg.init_cells_per_axis
+        cells = c * c * c
+        q, r = divmod(n, cells)
+        kc, kr = jax.random.split(kp)
+        ijk = jnp.stack(
+            jnp.meshgrid(*(jnp.arange(c),) * 3, indexing="ij"), axis=-1
+        ).reshape(cells, 1, 3)
+        local = jax.random.uniform(kc, (cells, q, 3), dtype)
+        in_cells = ((ijk.astype(dtype) + local) / c * extent).reshape(
+            cells * q, 3
+        )
+        rest = jax.random.uniform(kr, (r, 3), dtype) * extent
+        pos = jnp.concatenate([in_cells, rest], axis=0)
+    else:
+        pos = jax.random.uniform(kp, (n, 3), dtype) * extent
     vel = rng.maxwell_velocities(kv, n, cfg.physics.a_shape, dtype)
     state = ParticleState.zeros(n, dtype)
     state.pos, state.vel = pos, vel

@@ -14,6 +14,23 @@ from typing import IO, Optional
 import numpy as np
 
 
+def device_memory_stats() -> dict:
+    """Device-memory telemetry (the reference's commented-out
+    tracemalloc report, Open_Air_Cube_MC.py:94-117, re-imagined for the
+    accelerator: HBM in use / peak / limit from the PJRT allocator).
+    Returns {} when the backend does not expose memory_stats (e.g. the
+    XLA:CPU test platform)."""
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats() or {}
+    except Exception:
+        return {}
+    keep = ("bytes_in_use", "peak_bytes_in_use", "bytes_limit",
+            "largest_alloc_size", "num_allocs")
+    return {k: int(v) for k, v in stats.items() if k in keep}
+
+
 class MetricsLogger:
     """JSONL writer for per-epoch simulation metrics.
 
@@ -65,6 +82,9 @@ class MetricsLogger:
                 self._steps_done * num_particles / max(now - self._t0, 1e-9)
             ),
         }
+        mem = device_memory_stats()
+        if mem:
+            record["device_memory"] = mem
         if self._fh is not None:
             self._fh.write(json.dumps(record) + "\n")
             self._fh.flush()

@@ -46,7 +46,7 @@ def _emit_stale_fallback(err: Exception) -> int:
     path = os.environ.get(
         "BENCH_STALE_SOURCE",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "runs", "bench", "bench_1m_r3_active.json"),
+                     "runs", "bench", "bench_1m_r4.json"),
     )
     try:
         with open(path) as f:
@@ -246,6 +246,11 @@ def main() -> int:
         "checksum": checksum,
         "device": jax.devices()[0].device_kind,
     }
+    from argon_monte_carlo_tpu.io.metrics import device_memory_stats
+
+    mem = device_memory_stats()
+    if mem:
+        result["device_memory"] = mem
     print(json.dumps(result))
     return 0
 

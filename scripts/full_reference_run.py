@@ -146,6 +146,11 @@ def main() -> int:
         report[f"hist_{name}_l1_vs_reference"] = float(
             np.abs(ours - ref).sum() / denom
         )
+    from argon_monte_carlo_tpu.io.metrics import device_memory_stats
+
+    mem = device_memory_stats()
+    if mem:
+        report["device_memory"] = mem
     print(json.dumps(report))
     with open(os.path.join(args.out, "report.json"), "w") as f:
         json.dump(report, f, indent=2)

@@ -5,10 +5,18 @@ Drives the round-2 narrow-phase optimization (VERDICT r1 item 1): prints
 the fusion-level hotspot table for the Temperature_Pore step so each
 optimization targets the measured top entry rather than a guess.
 """
+import os
 import sys
 import time
 
 import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_CACHE_DIR",
+                   os.path.expanduser("~/.cache/jax_argon")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 sys.path.insert(0, ".")
 

@@ -88,3 +88,33 @@ def test_cone_directions_distribution():
     assert np.mean(cos_t) == pytest.approx((1 + cos_max) / 2, abs=2e-3)
     hist, _ = np.histogram(cos_t, bins=20, range=(cos_max, 1.0))
     assert hist.min() > 0.8 * n / 20
+
+
+def test_stratified_cube_init_matches_reference_scheme():
+    """CubeConfig.stratified_init=True reproduces the reference's
+    per-cell fill (Open_Air_Cube_MC.py:144-156): exactly floor(N/c^3)
+    particles inside every init cell plus a uniform remainder, all in
+    bounds, same single-particle distribution as the uniform default."""
+    import argon_monte_carlo_tpu as amc
+    from argon_monte_carlo_tpu.init import init_cube
+
+    c = 5
+    cfg = amc.CubeConfig(num_particles_override=5 ** 3 * 11 + 7,
+                         stratified_init=True, init_cells_per_axis=c)
+    state = init_cube(cfg, jax.random.PRNGKey(3))
+    pos = np.asarray(state.pos)
+    n = cfg.num_molecules
+    assert pos.shape == (n, 3)
+    L = cfg.geometry.lx
+    assert pos.min() >= 0.0 and pos.max() <= L
+
+    # The first c^3 * q rows are the per-cell block: each consecutive
+    # q-row group lies inside its own cell.
+    q = n // c ** 3
+    cells = np.floor(pos[: c ** 3 * q] / (L / c)).astype(int)
+    flat = cells[:, 0] * c * c + cells[:, 1] * c + cells[:, 2]
+    expect = np.repeat(np.arange(c ** 3), q)
+    np.testing.assert_array_equal(flat, expect)
+
+    # Every cell holds >= q particles overall; per-axis mean near L/2.
+    assert abs(pos.mean() - L / 2) < 0.02 * L

@@ -165,8 +165,15 @@ def main() -> int:
 
     workload = amc.make_workload(cfg)
     sim = amc.Simulation(workload)
+    t0 = time.time()
     state, measure, key = sim.init()
     jax.block_until_ready(state.pos)
+    _ = float(state.pos[0, 0])
+    # Phase marks: at 10M the warmup phase is tens of minutes of remote
+    # compile; stamping init/warmup separately makes a stalled attempt
+    # diagnosable from the log (r3's 10M log showed only "warmup=...").
+    print(f"bench: init done in {time.time()-t0:.1f}s", file=sys.stderr,
+          flush=True)
 
     # Derived pair-check rate (BASELINE.md tracked metric): exact
     # narrow-phase tests per step = the listed-pair buffer width (every

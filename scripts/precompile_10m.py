@@ -1,0 +1,56 @@
+"""Resumable large-N precompile: land the split programs in the cache.
+
+The 10M bench's wall is XLA compile through the remote tunnel.  The
+engine's split design gives exactly two big programs (the rebuild and
+the <=K-step scan block); this script compiles THEM ONLY -- running
+K steps end-to-end -- so each completed compile lands in the durable
+persistent cache even if a later one stalls and the process dies.  A
+subsequent bench.py run then loads everything from cache.
+
+Usage: [BENCH_PARTICLES=10000000] python scripts/precompile_10m.py
+"""
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_CACHE_DIR",
+                   os.path.expanduser("~/.cache/jax_argon")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argon_monte_carlo_tpu as amc  # noqa: E402
+
+N = int(os.environ.get("BENCH_PARTICLES", 10_000_000))
+K = int(os.environ.get("BENCH_REBUILD_INTERVAL", 8))
+
+
+def mark(msg):
+    print(f"precompile: {msg} at +{time.time() - T0:.1f}s",
+          file=sys.stderr, flush=True)
+
+
+T0 = time.time()
+eng = amc.EngineConfig(
+    dtype="float32", broadphase="cells", steps_per_epoch=K,
+    hist_flush_interval=1, narrowphase="pairs", rebuild_interval=K,
+)
+cfg = amc.temperature_pore_config(engine=eng).scaled_to(N)
+mark(f"config N={cfg.num_molecules}")
+sim = amc.Simulation(amc.make_workload(cfg))
+state, measure, key = sim.init()
+_ = float(state.pos[0, 0])
+mark("init done (eager ops compiled)")
+# One run of exactly K steps compiles the rebuild program, then the
+# K-step scan block -- the same two programs bench.py's warmup needs.
+state, measure, _ = sim.run(num_steps=K, state=state, measure=measure,
+                            run_key=key)
+_ = float(state.pos[0, 0])
+mark("rebuild + block programs compiled and executed")
+print("precompile: ok")

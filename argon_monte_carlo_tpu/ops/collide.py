@@ -604,6 +604,17 @@ def cell_candidate_search(
     # partner readback and drop collisions near late shards' boundaries
     # (caught by tests/test_cross_shard_pair.py) -- so pad by the full
     # scanned extent.
+    # Occupancy skip (single-chip active mode): ~24% of active rows hold
+    # no particle at any given rebuild (Poisson occupancy + the 0.5-cell
+    # static margin) yet cost full (cap, 14*cap) hit-test/top-k lanes --
+    # the sweep's dominant VPU term (r4 profile: 145 of 218 ms/rebuild
+    # at 1M).  Stably permute NONEMPTY rows first and skip whole
+    # trailing chunks with a lax.cond.  Per-particle candidates are
+    # unchanged (row order only affects buffer layout; readback is
+    # per-particle through the cell->row map), so the engine's bitwise
+    # gates hold.  Windowed (sharded) mode keeps the static layout: its
+    # a_start/active_rank contract assumes list order.
+    dyn_skip = use_active and cell_window is None
     if use_active:
         # Emission rows are GATHERED through the active list; one far
         # pad row (index num_rows) absorbs list padding, and the
@@ -613,7 +624,24 @@ def cell_candidate_search(
         # point anywhere in it (dynamic_slice clamps silently -- same
         # hazard as the windowed plane slices below).
         pad_rows = 1
-        act_p = jnp.pad(grid.active_cells, (0, n_chunks * chunk),
+        if dyn_skip:
+            act = grid.active_cells
+            row_has = jnp.any(table[act] < n, axis=1)
+            perm = jnp.argsort(~row_has)       # stable: nonempty first
+            n_nonempty = jnp.sum(row_has, dtype=jnp.int32)
+            act_used = act[perm]
+            # cell -> permuted row (or -1: inactive, or empty this
+            # rebuild -- no particle reads an empty cell's row).
+            dyn_rank = jnp.full((grid.num_cells + 1,), -1, jnp.int32)
+            dyn_rank = dyn_rank.at[act_used].set(
+                jnp.where(row_has[perm],
+                          jnp.arange(act.shape[0], dtype=jnp.int32),
+                          -1),
+                mode="drop",
+            )
+        else:
+            act_used = grid.active_cells
+        act_p = jnp.pad(act_used, (0, n_chunks * chunk),
                         constant_values=num_rows)
         nbr_p = jnp.pad(grid.neighbors, ((0, 2), (0, 0)),
                         constant_values=grid.num_cells)
@@ -729,7 +757,26 @@ def cell_candidate_search(
         stacked = jnp.stack(bests, axis=-1)            # (c_len, cap, K)
         return jnp.where(stacked < int_big, stacked, -1)
 
-    if n_chunks == 1:
+    if dyn_skip and n_chunks > 1:
+        # Chunks whose first row rank >= n_nonempty contain only empty
+        # rows (nonempty rows were permuted to the front): skip the
+        # sweep body entirely.  The skipped rows' buffer content is
+        # never read (no particle lives in an empty cell).
+        def chunk_or_skip(carry, c0):
+            out = jax.lax.cond(
+                c0 < n_nonempty,
+                sweep_chunk,
+                lambda _: jnp.full((chunk, cap, top_k), -1, jnp.int32),
+                c0,
+            )
+            return carry, out
+
+        _, parts = jax.lax.scan(
+            chunk_or_skip, None,
+            jnp.arange(n_chunks, dtype=jnp.int32) * chunk,
+        )
+        cand_flat = parts.reshape(-1, top_k)[: width * cap]
+    elif n_chunks == 1:
         cand_flat = sweep_chunk(0).reshape(-1, top_k)
     else:
         _, parts = jax.lax.scan(
@@ -751,9 +798,15 @@ def cell_candidate_search(
         # like a capacity spill).  Table-dropped particles
         # (pslot == num_cells*cap) are already hot via their own path.
         cell_of = pslot // cap
-        arank = grid.active_rank[jnp.minimum(cell_of, grid.num_cells)]
-        rel_row = arank - a_start
-        covered = (arank >= 0) & (rel_row >= 0) & (rel_row < width)
+        if dyn_skip:
+            # Same one N-row gather as the static path, through the
+            # per-rebuild cell->permuted-row map instead.
+            rel_row = dyn_rank[jnp.minimum(cell_of, grid.num_cells)]
+            covered = rel_row >= 0
+        else:
+            arank = grid.active_rank[jnp.minimum(cell_of, grid.num_cells)]
+            rel_row = arank - a_start
+            covered = (arank >= 0) & (rel_row >= 0) & (rel_row < width)
         rel = jnp.clip(rel_row * cap + pslot % cap, 0, width * cap - 1)
         cands = jnp.where(covered[:, None], cand_flat[rel], -1)
         unswept = (~covered) & (pslot < grid.num_cells * cap)

@@ -142,6 +142,16 @@ def main() -> int:
         # full neighbour sweep amortized over 8 steps.
         narrowphase=os.environ.get("BENCH_NARROWPHASE", "pairs"),
         rebuild_interval=int(os.environ.get("BENCH_REBUILD_INTERVAL", 8)),
+        # Grid-shape sweep knobs: the rebuild sweep's dominant VPU term
+        # scales ~rows * cap^2 while spill-to-hot keeps ANY capacity
+        # coverage-exact (tests/test_pairs.py forced-starvation at cap
+        # 4) and pairs_config_for grows the research budgets to absorb
+        # the thinner Poisson tail.  Defaults (occ 11 -> cap 24) are
+        # the shipping config; BENCH_CELL_CAP/BENCH_CELL_OCC measure
+        # alternatives on-chip without a code change.
+        cell_capacity=(int(os.environ["BENCH_CELL_CAP"])
+                       if os.environ.get("BENCH_CELL_CAP") else None),
+        cell_occupancy=float(os.environ.get("BENCH_CELL_OCC", 11.0)),
     )
     cfg = amc.temperature_pore_config(engine=eng).scaled_to(BENCH_PARTICLES)
     n = cfg.num_molecules

@@ -489,3 +489,33 @@ def test_half_shell_gid_windowed_pair_set():
     half = pair_set(True)
     assert half == full
     assert len(full) > 100
+
+
+def test_pairs_thin_grid_shape_matches_default_sweep_bitwise():
+    """Grid shape is a pure perf knob: a pairs engine on a THIN grid
+    (cell_occupancy 8 -> smaller cells, cell_capacity 16 -> thin
+    Poisson tail) must reproduce the DEFAULT-grid (occ 11 / derived
+    cap) sweep engine bitwise.  This is the gate for the r4 on-chip
+    grid-shape sweep (bench.py BENCH_CELL_CAP/BENCH_CELL_OCC): the
+    sweep's dominant VPU term scales ~rows*cap^2, so the shipping
+    shape may change -- trajectories may not."""
+    n, steps, k = 3000, 10, 4
+    eng_s = amc.EngineConfig(dtype="float64", broadphase="cells",
+                             steps_per_epoch=5, narrowphase="sweep")
+    cfg_s = amc.temperature_pore_config(num_particles_override=n,
+                                        engine=eng_s)
+    st_s, m_s, _ = amc.Simulation(amc.make_workload(cfg_s)).run(
+        num_steps=steps)
+
+    eng_p = dataclasses.replace(eng_s, narrowphase="pairs",
+                                rebuild_interval=k, cell_capacity=16,
+                                cell_occupancy=8.0)
+    cfg_p = amc.temperature_pore_config(num_particles_override=n,
+                                        engine=eng_p)
+    st_p, m_p, _ = amc.Simulation(amc.make_workload(cfg_p)).run(
+        num_steps=steps)
+
+    assert int(m_p.overflow_count) == 0
+    np.testing.assert_array_equal(np.asarray(st_s.pos), np.asarray(st_p.pos))
+    np.testing.assert_array_equal(np.asarray(st_s.vel), np.asarray(st_p.vel))
+    assert int(m_s.collision_count) == int(m_p.collision_count)

@@ -257,6 +257,11 @@ def main() -> int:
         "elapsed_sec": elapsed,
         "epoch_times_sec": [round(t, 3) for t in epoch_times],
         "median_epoch_sec": round(median, 3),
+        # Best epoch alongside the median headline: tunnel noise can
+        # skew identical epochs up to ~3x, so the spread is part of the
+        # measurement (VERDICT r3 weak 7).
+        "best_epoch_sec": round(min(epoch_times), 3),
+        "best_epoch_throughput": n * spe / min(epoch_times),
         "steps_per_sec": value / n,
         "pair_checks_per_sec": (value / n) * checks_per_step,
         "collisions": int(sim.finalize_measure(measure).collision_count),

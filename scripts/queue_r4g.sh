@@ -1,22 +1,18 @@
 #!/bin/bash
-# Round-4 chip queue g: overnight 10M attempt 3, IF attempt 2 failed.
-# Strategy per the compile-scaling probe (scripts/compile_scaling_probe.py:
-# XLA:CPU compiles the identical split programs in 4-8 s FLAT across
-# 1M/4M/10M -- the 10M wall is entirely the remote TPU compile
-# service): wait it out with a resumable shape -- precompile_10m.py
-# first (rebuild program's cache entry lands even if the block compile
-# stalls and the process dies), long timeouts, then the bench loads
-# everything from the durable cache.  ONE grant; strictly serial.
+# Round-4 chip queue g (v2): after the 1M shape sweep (queue f) drains:
+#   1. rebuild phase attribution at 1M (~10 min incl. compiles)
+#   2. overnight 10M attempt 3 IF attempt 2 failed -- resumable
+#      precompile first (each completed program lands in the durable
+#      cache even if a later one stalls; the compile-scaling probe
+#      showed the wall is the remote service, so the strategy is long
+#      timeouts against a cache that only ever grows), then the bench.
+# ONE grant; strictly serial.
 set -u
 cd "$(dirname "$0")/.."
-mkdir -p runs/bench
+mkdir -p runs/bench runs/profile
 until grep -q "queue_r4f: done" runs/queue_r4f.log 2>/dev/null; do
   sleep 120
 done
-if [ -s runs/bench/bench_10m_r4.json ]; then
-  echo "== queue_r4g: 10M already landed, nothing to do"
-  exit 0
-fi
 
 probe () {
   for i in 1 2 3 4; do
@@ -30,6 +26,18 @@ probe () {
   done
   return 1
 }
+
+probe || { echo "== queue_r4g: backend dead, aborting"; exit 1; }
+echo "== queue_r4g: rebuild phases start $(date -u +%H:%M:%S)"
+timeout 2400 python scripts/profile_rebuild_phases.py \
+  > runs/profile/rebuild_phases_1m_r4.txt \
+  2> runs/profile/rebuild_phases_1m_r4.log
+echo "== queue_r4g: rebuild phases rc=$? $(date -u +%H:%M:%S)"
+
+if [ -s runs/bench/bench_10m_r4.json ]; then
+  echo "== queue_r4g: 10M already landed, done"
+  exit 0
+fi
 
 probe || { echo "== queue_r4g: backend dead, aborting"; exit 1; }
 echo "== queue_r4g: 10M precompile start $(date -u +%H:%M:%S)"

@@ -15,6 +15,8 @@ everything is one SPMD program.
 from __future__ import annotations
 
 import dataclasses
+import json
+import os
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -463,6 +465,25 @@ def make_pairs_step_fn(workload: Workload, device_grid, host_grid):
     return step, pcfg
 
 
+def _engine_jit(fun):
+    """``jax.jit`` with optional XLA compiler options from the env.
+
+    ``ARGON_COMPILER_OPTIONS`` (a JSON dict, e.g.
+    ``{"exec_time_optimization_effort": -1.0}``) is forwarded to every
+    engine program compile.  Motivation: this environment's remote TPU
+    compile service blows up superlinearly in buffer sizes (the 10M
+    split-program compile exceeded 4 h while XLA:CPU compiles the same
+    StableHLO in <9 s flat — COMPONENTS.md "The 10M compile wall"), and
+    effort-reducing options are the one client-side lever that rides the
+    compile request.  Unset (the default) takes the plain ``jax.jit``
+    path: byte-identical programs, byte-identical cache keys.
+    """
+    raw = os.environ.get("ARGON_COMPILER_OPTIONS")
+    if not raw:
+        return jax.jit(fun)
+    return jax.jit(fun, compiler_options=json.loads(raw))
+
+
 class Simulation:
     """Host-side driver: init once, run jitted epochs, stream metrics."""
 
@@ -501,7 +522,7 @@ class Simulation:
 
             # A separate jitted program from the step scan: see the
             # make_pairs_step_fn docstring (compile-size split).
-            self._rebuild_jit = jax.jit(run_rebuild)
+            self._rebuild_jit = _engine_jit(run_rebuild)
 
             def run_epoch(state, measure, base_key, step_indices,
                           rebuilt_flags, dgrid, aux):
@@ -550,7 +571,7 @@ class Simulation:
                 )
                 return state, measure, metrics, aux
 
-            self._run_epoch_fused = jax.jit(run_epoch_fused)
+            self._run_epoch_fused = _engine_jit(run_epoch_fused)
 
         else:
 
@@ -562,7 +583,7 @@ class Simulation:
                 )
                 return state, measure, metrics, aux
 
-        self._run_epoch_grid = jax.jit(run_epoch)
+        self._run_epoch_grid = _engine_jit(run_epoch)
 
     def _init_aux(self, state):
         if not self._pairs_mode:

@@ -273,6 +273,12 @@ def main() -> int:
     mem = device_memory_stats()
     if mem:
         result["device_memory"] = mem
+    # Record non-default compile options in the artifact: the 10M
+    # mitigation path compiles with reduced optimization effort
+    # (engine._engine_jit), and the measurement must say so.
+    if os.environ.get("ARGON_COMPILER_OPTIONS"):
+        result["compiler_options"] = json.loads(
+            os.environ["ARGON_COMPILER_OPTIONS"])
     # Cross-reference the committed 10M north-star measurement when this
     # run was taken at another scale (the driver's default is 1M): the
     # north star is defined at 10M particles, so the judge-facing JSON

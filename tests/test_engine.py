@@ -130,3 +130,33 @@ def test_energy_ledger_consistency():
     # 2000 particles the gap sees essentially no traffic; allow a small
     # absolute slack at 1e-21 J scale per event.
     assert e1 - e0 == pytest.approx(ledger, abs=5e-20)
+
+
+def test_compiler_options_env_is_bitwise_neutral(monkeypatch):
+    """ARGON_COMPILER_OPTIONS (engine._engine_jit) feeds XLA compile
+    options for the 10M remote-compile-wall mitigation; reduced effort
+    must not change trajectories (scheduling, not math), and the unset
+    default takes the plain jax.jit path."""
+    def run(env_value):
+        if env_value is None:
+            monkeypatch.delenv("ARGON_COMPILER_OPTIONS", raising=False)
+        else:
+            monkeypatch.setenv("ARGON_COMPILER_OPTIONS", env_value)
+        cfg = amc.temperature_pore_config(
+            num_particles_override=4000,
+            engine=EngineConfig(broadphase="cells", dtype="float32",
+                                narrowphase="pairs", rebuild_interval=4,
+                                steps_per_epoch=8),
+        )
+        sim = amc.Simulation(amc.make_workload(cfg))
+        state, measure, key = sim.init()
+        state, measure, _ = sim.run(num_steps=8, state=state,
+                                    measure=measure, run_key=key)
+        return np.asarray(state.pos), int(measure.collision_count)
+
+    pos_default, coll_default = run(None)
+    pos_opts, coll_opts = run(
+        '{"exec_time_optimization_effort": -1.0, '
+        '"memory_fitting_effort": -1.0}')
+    assert coll_opts == coll_default
+    assert (pos_opts == pos_default).all()

@@ -102,6 +102,33 @@ class EngineConfig:
     # rebuild_interval > 1, so pairs entering range between rebuilds are
     # still candidates (Verlet-list skin).
     skin: float = 0.0
+    # Bin particles through ONE packed (nz, 4) layer-table row gather
+    # instead of three separate per-layer gathers (nx, half_extent,
+    # layer_base) in ops/collide.assign_cells.  Gather cost on the
+    # attached chip is per-ROW (~7 ns) regardless of width, so this
+    # cuts the rebuild's binning term to ~1/3.  Cell ids are
+    # bitwise-identical (integer layer values < 2^24 round-trip float
+    # exactly; the guard in DeviceGrid.from_grid refuses otherwise).
+    # Default False until the r4 on-chip probe lands (flipping it
+    # changes the traced HLO and would invalidate the warming 10M
+    # compile caches mid-round).
+    packed_layer_gather: bool = False
+    # Compute the PAIR-LIST REBUILD's candidate distance test in
+    # bfloat16 (differences still formed in f32 -- absolute positions
+    # would lose ~2e-9 m to bf16 rounding, larger than the collision
+    # range -- then cast, squared, and compared against a threshold
+    # pre-widened by BF16_HIT_EPS).  The widened bf16 hit set is a
+    # guaranteed SUPERSET of the exact f32 set, and coverage stays
+    # exact through the existing machinery: extra candidates can only
+    # saturate a particle's top-k emission, which queues the one-shot
+    # full re-search (pending1) that re-tests in exact f32
+    # (ops/pairs.rebuild:198-203).  Resolution always re-tests exact
+    # f32 overlap per step, so trajectories are unchanged.  Only the
+    # rebuild converts; the per-step sweep narrow phase and the
+    # research path stay f32.  Default False pending the on-chip
+    # cast-form measurement (probe_bf16_vpu.py measured the all-bf16
+    # form at 0.901x; the cast form is what the engine actually runs).
+    rebuild_bf16_hittest: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -96,7 +96,8 @@ def build_grids(workload: Workload):
         center = (geom.lx / 2.0, geom.ly / 2.0)
     host_grid = build(geom, cell_size, capacity)
     device_grid = collide.DeviceGrid.from_grid(
-        host_grid, jnp.dtype(eng.dtype), center
+        host_grid, jnp.dtype(eng.dtype), center,
+        packed_layers=getattr(eng, "packed_layer_gather", False),
     )
     return host_grid, device_grid
 
@@ -279,6 +280,10 @@ def pairs_config_for(workload: Workload, num_particles: int | None = None):
     pcfg = pairs_ops.default_pair_config(
         n_sized, k, pair_expectation=lam, spill_hot=spill_hot,
     )
+    if getattr(cfg.engine, "rebuild_bf16_hittest", False):
+        import dataclasses as _dc
+
+        pcfg = _dc.replace(pcfg, bf16_hit=True)
     # The pair list can only cover collisions when the top-k emission
     # captures essentially every in-reach candidate.  Workloads whose
     # per-step drift is large relative to the collision range (the CUBE

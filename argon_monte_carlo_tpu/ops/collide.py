@@ -42,6 +42,18 @@ import numpy as np
 from ..state import Measurements, ParticleState
 from . import measure as measure_ops
 
+# Threshold widening for the bf16 rebuild hit test
+# (EngineConfig.rebuild_bf16_hittest).  Superset condition: whenever the
+# exact f32 test fires (d2 < thresh^2), the bf16 test must too.  With
+# bf16 round-to-nearest unit u = 2^-9: the cast+square+2-add d2 path
+# satisfies d2_bf16 <= d2 (1 + 5u), and the pre-widened threshold
+# (per-plane scale, bf16 cast, add, square) satisfies
+# tw^2 >= thresh^2 (1+eps)^2 (1 - 5u); superset therefore needs
+# (1+eps)^2 >= (1+5u)/(1-5u) ~ 1 + 10u, i.e. eps >= 0.0098.  1/64 =
+# 0.0156 carries a 1.6x margin; the ~1.6% wider reach admits ~5% more
+# shell volume, i.e. ~5% more (counted, exactly-retested) candidates.
+BF16_HIT_EPS = 1.0 / 64.0
+
 
 # --------------------------------------------------------------------------
 # Host-side grid construction
@@ -235,9 +247,16 @@ class DeviceGrid:
     # sharded windows).
     active_cells: jax.Array | None = None
     active_rank: jax.Array | None = None
+    # Optional (nz, 4) packed per-layer table [nx, half_extent,
+    # layer_base, 0]: when present, assign_cells bins through ONE row
+    # gather instead of three (gather cost is per-row on TPU).  Built
+    # by from_grid(packed_layers=True); integer columns ride as floats
+    # (exact below 2^24 -- guarded) and cid is bitwise-identical.
+    layer_packed: jax.Array | None = None
 
     @staticmethod
-    def from_grid(grid: Grid, dtype, center_xy=(0.0, 0.0)) -> "DeviceGrid":
+    def from_grid(grid: Grid, dtype, center_xy=(0.0, 0.0),
+                  packed_layers: bool = False) -> "DeviceGrid":
         act = rank = None
         if grid.active_cells is not None:
             rank_np = np.full(grid.num_cells + 1, -1, np.int32)
@@ -246,6 +265,22 @@ class DeviceGrid:
             )
             act = jnp.asarray(grid.active_cells)
             rank = jnp.asarray(rank_np)
+        packed = None
+        if packed_layers:
+            if (jnp.dtype(dtype) == jnp.float32
+                    and (int(np.max(grid.nx)) >= (1 << 24)
+                         or grid.num_cells >= (1 << 24))):
+                raise ValueError(
+                    "packed_layer_gather: layer values exceed float32's "
+                    "exact-integer range (2^24); use float64"
+                )
+            packed = jnp.stack(
+                [jnp.asarray(grid.nx, dtype),
+                 jnp.asarray(grid.half_extent, dtype),
+                 jnp.asarray(grid.layer_base, dtype),
+                 jnp.zeros((grid.nz,), dtype)],
+                axis=1,
+            )
         return DeviceGrid(
             nx=jnp.asarray(grid.nx),
             layer_base=jnp.asarray(grid.layer_base),
@@ -260,13 +295,14 @@ class DeviceGrid:
             center_y=float(center_xy[1]),
             active_cells=act,
             active_rank=rank,
+            layer_packed=packed,
         )
 
 
 jax.tree_util.register_dataclass(
     DeviceGrid,
     data_fields=["nx", "layer_base", "half_extent", "neighbors",
-                 "active_cells", "active_rank"],
+                 "active_cells", "active_rank", "layer_packed"],
     meta_fields=["cell_size", "z_lo", "nz", "num_cells", "capacity",
                  "center_x", "center_y"],
 )
@@ -291,9 +327,18 @@ def assign_cells(pos: jnp.ndarray, grid: DeviceGrid,
         jnp.floor((z - grid.z_lo) / grid.cell_size).astype(jnp.int32),
         0, grid.nz - 1,
     )
-    nx = grid.nx[iz]
-    half = grid.half_extent[iz]
-    base = grid.layer_base[iz]
+    if grid.layer_packed is not None:
+        # One packed row gather instead of three (per-row gather cost;
+        # EngineConfig.packed_layer_gather).  Integer columns are exact
+        # float round-trips (< 2^24, guarded at pack time).
+        row = grid.layer_packed[iz]
+        nx = row[:, 0].astype(jnp.int32)
+        half = row[:, 1]
+        base = row[:, 2].astype(jnp.int32)
+    else:
+        nx = grid.nx[iz]
+        half = grid.half_extent[iz]
+        base = grid.layer_base[iz]
     ix = jnp.clip(
         jnp.floor((x + half) / grid.cell_size).astype(jnp.int32), 0, nx - 1
     )
@@ -416,6 +461,7 @@ def cell_candidate_search(
     one_sided: bool = False,
     half_shell: bool = False,
     active_window: tuple | None = None,
+    bf16_hit: bool = False,
 ):
     """Up to ``top_k`` lowest-index in-range candidates per particle.
 
@@ -469,6 +515,13 @@ def cell_candidate_search(
             "half_shell requires one_sided=True: the half-shell scan "
             "emits each unordered pair exactly once, which is only "
             "coherent under one-sided emission"
+        )
+    if bf16_hit and reach is None:
+        raise ValueError(
+            "bf16_hit applies only to the reach-mode rebuild sweep: "
+            "the per-step narrow phase (search_radius) must stay "
+            "exact f32 -- its mutual-match rule has no superset-"
+            "recovery backstop (see EngineConfig.rebuild_bf16_hittest)"
         )
     n = pos.shape[0]
     cap = grid.capacity
@@ -680,6 +733,11 @@ def cell_candidate_search(
         ox, oy, oz = window(px_p), window(py_p), window(pz_p)
         oid = window(pid_p)
         orc = None if pr_p is None else window(pr_p)
+        # Emitter-side pre-widened bf16 reach plane, hoisted out of the
+        # offset loop (2D; the widening factor is applied per PLANE so
+        # the full-shape threshold work stays one bf16 add + mul).
+        orc_w = (None if (orc is None or not bf16_hit) else
+                 (orc * (1.0 + BF16_HIT_EPS)).astype(jnp.bfloat16))
         bests = tuple(oid * 0 + int_big for _ in range(top_k))
 
         # Offset-grouped: the candidate (minor) axis is group*cap wide --
@@ -708,10 +766,33 @@ def cell_candidate_search(
             dx = ox[:, :, None] - nx_[:, None, :]
             dy = oy[:, :, None] - ny_[:, None, :]
             dz = oz[:, :, None] - nz_[:, None, :]
-            d2 = dx * dx + dy * dy + dz * dz           # (c_len, cap, g*cap)
             if r2 is not None:
+                d2 = dx * dx + dy * dy + dz * dz       # (c_len, cap, g*cap)
                 in_range = d2 < r2
+            elif bf16_hit:
+                # Cast-form bf16 hit test (EngineConfig.
+                # rebuild_bf16_hittest).  Differences stay f32 (bf16
+                # ABSOLUTE positions would round by ~|x| 2^-9 -- more
+                # than the collision range at pore scales); the small
+                # differences cast exactly enough, and the threshold is
+                # pre-widened by BF16_HIT_EPS so the bf16 hit set is a
+                # guaranteed SUPERSET of the exact f32 set (error
+                # budget in the BF16_HIT_EPS comment).  Extra
+                # candidates only saturate top-k, which queues the
+                # pending1 exact re-search (ops/pairs.rebuild), and
+                # resolution re-tests exact f32 overlap per step --
+                # coverage and trajectories are unchanged.
+                bf = jnp.bfloat16
+                dxb = dx.astype(bf)
+                dyb = dy.astype(bf)
+                dzb = dz.astype(bf)
+                d2b = dxb * dxb + dyb * dyb + dzb * dzb
+                prw = (part(reach_plane)
+                       * (1.0 + BF16_HIT_EPS)).astype(bf)
+                tw = orc_w[:, :, None] + prw[:, None, :]
+                in_range = d2b < tw * tw
             else:
+                d2 = dx * dx + dy * dy + dz * dz       # (c_len, cap, g*cap)
                 thresh = orc[:, :, None] + part(reach_plane)[:, None, :]
                 in_range = d2 < thresh * thresh
             if half_shell:

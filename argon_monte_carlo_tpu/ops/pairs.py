@@ -84,6 +84,9 @@ class PairConfig:
     research_top_k: int        # candidates kept per re-searched particle
     append_capacity: int       # research pair entries appended per step
     top_k: int                 # candidates kept per particle at rebuild
+    # Rebuild hit test in bf16 with a widened-superset threshold
+    # (ops/collide.BF16_HIT_EPS; EngineConfig.rebuild_bf16_hittest).
+    bf16_hit: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -178,6 +181,7 @@ def rebuild(state: ParticleState, grid: collide.DeviceGrid,
         state.pos, grid, reach=reach, top_k=pcfg.top_k, ids=ids,
         valid=valid_lanes, cell_window=cell_window, one_sided=True,
         half_shell=True, active_window=active_window,
+        bf16_hit=pcfg.bf16_hit,
     )
     # Cell-table overflow -> HOT, not lost: a particle dropped from the
     # slot planes is invisible to every other particle's search, but a

@@ -152,6 +152,11 @@ def main() -> int:
         cell_capacity=(int(os.environ["BENCH_CELL_CAP"])
                        if os.environ.get("BENCH_CELL_CAP") else None),
         cell_occupancy=float(os.environ.get("BENCH_CELL_OCC", 11.0)),
+        # r4 rebuild levers (default-off; see EngineConfig docstrings):
+        # one packed layer-table row gather in assign_cells, and the
+        # widened-superset bf16 rebuild hit test.
+        packed_layer_gather=os.environ.get("BENCH_PACKED_LAYERS") == "1",
+        rebuild_bf16_hittest=os.environ.get("BENCH_BF16_HIT") == "1",
     )
     cfg = amc.temperature_pore_config(engine=eng).scaled_to(BENCH_PARTICLES)
     n = cfg.num_molecules

@@ -519,3 +519,128 @@ def test_pairs_thin_grid_shape_matches_default_sweep_bitwise():
     np.testing.assert_array_equal(np.asarray(st_s.pos), np.asarray(st_p.pos))
     np.testing.assert_array_equal(np.asarray(st_s.vel), np.asarray(st_p.vel))
     assert int(m_s.collision_count) == int(m_p.collision_count)
+
+
+def test_bf16_hittest_matches_exact_engine_bitwise():
+    """rebuild_bf16_hittest is a pure perf knob: the widened bf16 hit
+    set is a SUPERSET of the exact f32 set (ops/collide.BF16_HIT_EPS
+    error budget), extra candidates only saturate top-k -> pending1
+    exact re-search, and resolution re-tests exact overlap per step --
+    so trajectories must match the exact engine BITWISE."""
+    k, steps, n = 5, 15, 3000
+    eng_a = amc.EngineConfig(dtype="float64", broadphase="cells",
+                             steps_per_epoch=k, narrowphase="pairs",
+                             rebuild_interval=k)
+    cfg_a = amc.temperature_pore_config(num_particles_override=n,
+                                        engine=eng_a)
+    st_a, m_a, _ = amc.Simulation(amc.make_workload(cfg_a)).run(
+        num_steps=steps)
+
+    eng_b = dataclasses.replace(eng_a, rebuild_bf16_hittest=True)
+    cfg_b = amc.temperature_pore_config(num_particles_override=n,
+                                        engine=eng_b)
+    st_b, m_b, _ = amc.Simulation(amc.make_workload(cfg_b)).run(
+        num_steps=steps)
+
+    assert int(m_a.collision_count) == int(m_b.collision_count) > 0
+    np.testing.assert_array_equal(np.asarray(st_a.pos), np.asarray(st_b.pos))
+    np.testing.assert_array_equal(np.asarray(st_a.vel), np.asarray(st_b.vel))
+    np.testing.assert_array_equal(np.asarray(m_a.hist), np.asarray(m_b.hist))
+
+
+def test_bf16_hit_candidate_set_superset_or_saturated():
+    """Unit-level superset contract at engine dtype float32: every
+    exact-f32 rebuild candidate (i, c) is either present in the bf16
+    emission row of i, or i's bf16 row is SATURATED (cands[i, -1] >= 0
+    -- exactly the condition ops/pairs.rebuild queues for the pending1
+    exact re-search)."""
+    key = jax.random.PRNGKey(11)
+    n = 4000
+    eng = amc.EngineConfig(dtype="float32", broadphase="cells",
+                           narrowphase="pairs", rebuild_interval=8)
+    cfg = amc.temperature_pore_config(num_particles_override=n, engine=eng)
+    wl = amc.make_workload(cfg)
+    from argon_monte_carlo_tpu.engine import build_grids
+
+    _, dgrid = build_grids(wl)
+    state = wl.init_fn(key)
+    # Inflated reach exercises multi-candidate rows and top-k
+    # saturation (top_k=2) so BOTH recovery branches are covered.
+    cr, dt = cfg.physics.collision_range, cfg.dt
+    reach, _ = pairs_ops.reach_radii(state.vel, cr * 40.0, dt, 8,
+                                     0.5 * dgrid.cell_size)
+
+    kw = dict(reach=reach, top_k=2, one_sided=True, half_shell=True)
+    exact, _, _ = collide.cell_candidate_search(state.pos, dgrid, **kw)
+    wide, _, _ = collide.cell_candidate_search(state.pos, dgrid,
+                                               bf16_hit=True, **kw)
+    exact = np.asarray(exact)
+    wide = np.asarray(wide)
+    saturated = wide[:, -1] >= 0
+    ok = 0
+    for i in np.nonzero(exact[:, 0] >= 0)[0]:
+        for c in exact[i]:
+            if c < 0:
+                continue
+            assert c in wide[i] or saturated[i], (
+                f"exact candidate {c} of particle {i} lost: bf16 row "
+                f"{wide[i]} neither contains it nor saturated"
+            )
+            ok += 1
+    assert ok > 50  # the inflated reach must actually emit pairs
+    # And saturation must occur somewhere, or the second branch is
+    # untested at these settings.
+    assert saturated.sum() > 0
+
+
+def test_packed_layer_gather_bitwise():
+    """packed_layer_gather is a pure layout knob: cell ids (and
+    therefore trajectories) are bitwise-identical when the three
+    per-layer gathers collapse into one packed-row gather."""
+    n, steps, k = 3000, 10, 5
+    eng_a = amc.EngineConfig(dtype="float32", broadphase="cells",
+                             steps_per_epoch=k, narrowphase="pairs",
+                             rebuild_interval=k)
+    cfg_a = amc.temperature_pore_config(num_particles_override=n,
+                                        engine=eng_a)
+    wl_a = amc.make_workload(cfg_a)
+    eng_b = dataclasses.replace(eng_a, packed_layer_gather=True)
+    cfg_b = amc.temperature_pore_config(num_particles_override=n,
+                                        engine=eng_b)
+    wl_b = amc.make_workload(cfg_b)
+
+    from argon_monte_carlo_tpu.engine import build_grids
+
+    _, dg_a = build_grids(wl_a)
+    _, dg_b = build_grids(wl_b)
+    assert dg_a.layer_packed is None and dg_b.layer_packed is not None
+    key = jax.random.PRNGKey(5)
+    state = wl_a.init_fn(key)
+    cid_a = collide.assign_cells(state.pos, dg_a)
+    cid_b = collide.assign_cells(state.pos, dg_b)
+    np.testing.assert_array_equal(np.asarray(cid_a), np.asarray(cid_b))
+
+    st_a, m_a, _ = amc.Simulation(wl_a).run(num_steps=steps)
+    st_b, m_b, _ = amc.Simulation(wl_b).run(num_steps=steps)
+    np.testing.assert_array_equal(np.asarray(st_a.pos), np.asarray(st_b.pos))
+    np.testing.assert_array_equal(np.asarray(st_a.vel), np.asarray(st_b.vel))
+    assert int(m_a.collision_count) == int(m_b.collision_count)
+
+
+def test_packed_layer_gather_refuses_inexact_float32():
+    """The f32 packed table is only valid while layer integers are
+    exact float round-trips (< 2^24); the pack-time guard must refuse
+    otherwise rather than silently mis-bin."""
+    import pytest
+
+    eng = amc.EngineConfig(dtype="float32", broadphase="cells")
+    cfg = amc.temperature_pore_config(num_particles_override=1000,
+                                      engine=eng)
+    wl = amc.make_workload(cfg)
+    from argon_monte_carlo_tpu.engine import build_grids
+
+    host_grid, _ = build_grids(wl)
+    big = dataclasses.replace(host_grid, num_cells=1 << 24)
+    with pytest.raises(ValueError, match="2\\^24"):
+        collide.DeviceGrid.from_grid(big, jnp.float32,
+                                     packed_layers=True)

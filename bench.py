@@ -284,6 +284,14 @@ def main() -> int:
     if os.environ.get("ARGON_COMPILER_OPTIONS"):
         result["compiler_options"] = json.loads(
             os.environ["ARGON_COMPILER_OPTIONS"])
+    # Stamp non-default bench knobs so lever/sweep artifacts are
+    # self-describing (which program shape produced this number).
+    knobs = {k: os.environ[k] for k in
+             ("BENCH_CELL_CAP", "BENCH_CELL_OCC",
+              "BENCH_PACKED_LAYERS", "BENCH_BF16_HIT")
+             if os.environ.get(k)}
+    if knobs:
+        result["bench_knobs"] = knobs
     # Cross-reference the committed 10M north-star measurement when this
     # run was taken at another scale (the driver's default is 1M): the
     # north star is defined at 10M particles, so the judge-facing JSON

@@ -129,6 +129,20 @@ class EngineConfig:
     # cast-form measurement (probe_bf16_vpu.py measured the all-bf16
     # form at 0.901x; the cast form is what the engine actually runs).
     rebuild_bf16_hittest: bool = False
+    # Emit the rebuild's top-k candidates with a ONE-PASS pairwise
+    # tournament (sorted-merge selection network) instead of top_k
+    # sequential masked min-passes.  The sequential form re-traverses
+    # the (rows, cap, group*cap) hit volume once per slot (each pass
+    # re-masks on the previous minimum -- a serial dependence XLA
+    # cannot fuse away); the tournament reads it once for ~half the
+    # VPU ops.  Output is bitwise-identical: lane values are unique
+    # (one cell slot per particle; out-of-range neighbour offsets hit
+    # the sentinel empty row), so k-smallest selection and iterated
+    # strict-greater re-masking pick the same candidates (tested).
+    # Default False pending the on-chip merge-gate bench (flipping it
+    # changes the traced HLO and would invalidate the warming 10M
+    # compile caches mid-round).
+    rebuild_onepass_topk: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

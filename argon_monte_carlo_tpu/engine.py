@@ -284,6 +284,10 @@ def pairs_config_for(workload: Workload, num_particles: int | None = None):
         import dataclasses as _dc
 
         pcfg = _dc.replace(pcfg, bf16_hit=True)
+    if getattr(cfg.engine, "rebuild_onepass_topk", False):
+        import dataclasses as _dc
+
+        pcfg = _dc.replace(pcfg, onepass_topk=True)
     # The pair list can only cover collisions when the top-k emission
     # captures essentially every in-reach candidate.  Workloads whose
     # per-step drift is large relative to the collision range (the CUBE

@@ -87,6 +87,9 @@ class PairConfig:
     # Rebuild hit test in bf16 with a widened-superset threshold
     # (ops/collide.BF16_HIT_EPS; EngineConfig.rebuild_bf16_hittest).
     bf16_hit: bool = False
+    # One-pass tournament emission at rebuild (ops/collide.
+    # _topk_lane_tree; EngineConfig.rebuild_onepass_topk).
+    onepass_topk: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -181,7 +184,7 @@ def rebuild(state: ParticleState, grid: collide.DeviceGrid,
         state.pos, grid, reach=reach, top_k=pcfg.top_k, ids=ids,
         valid=valid_lanes, cell_window=cell_window, one_sided=True,
         half_shell=True, active_window=active_window,
-        bf16_hit=pcfg.bf16_hit,
+        bf16_hit=pcfg.bf16_hit, onepass_topk=pcfg.onepass_topk,
     )
     # Cell-table overflow -> HOT, not lost: a particle dropped from the
     # slot planes is invisible to every other particle's search, but a

@@ -157,6 +157,7 @@ def main() -> int:
         # widened-superset bf16 rebuild hit test.
         packed_layer_gather=os.environ.get("BENCH_PACKED_LAYERS") == "1",
         rebuild_bf16_hittest=os.environ.get("BENCH_BF16_HIT") == "1",
+        rebuild_onepass_topk=os.environ.get("BENCH_ONEPASS_TOPK") == "1",
     )
     cfg = amc.temperature_pore_config(engine=eng).scaled_to(BENCH_PARTICLES)
     n = cfg.num_molecules
@@ -288,7 +289,8 @@ def main() -> int:
     # self-describing (which program shape produced this number).
     knobs = {k: os.environ[k] for k in
              ("BENCH_CELL_CAP", "BENCH_CELL_OCC",
-              "BENCH_PACKED_LAYERS", "BENCH_BF16_HIT")
+              "BENCH_PACKED_LAYERS", "BENCH_BF16_HIT",
+              "BENCH_ONEPASS_TOPK")
              if os.environ.get(k)}
     if knobs:
         result["bench_knobs"] = knobs

@@ -644,3 +644,58 @@ def test_packed_layer_gather_refuses_inexact_float32():
     with pytest.raises(ValueError, match="2\\^24"):
         collide.DeviceGrid.from_grid(big, jnp.float32,
                                      packed_layers=True)
+
+
+def test_onepass_topk_candidate_rows_bitwise():
+    """Unit-level: the one-pass tournament emission returns bitwise the
+    same candidate rows as the sequential min-pass form, including
+    saturated rows (inflated reach forces multi-candidate rows so every
+    top-k slot and the sorted-merge carry across gather groups are
+    exercised)."""
+    key = jax.random.PRNGKey(13)
+    n = 4000
+    eng = amc.EngineConfig(dtype="float32", broadphase="cells",
+                           narrowphase="pairs", rebuild_interval=8)
+    cfg = amc.temperature_pore_config(num_particles_override=n, engine=eng)
+    wl = amc.make_workload(cfg)
+    from argon_monte_carlo_tpu.engine import build_grids
+
+    _, dgrid = build_grids(wl)
+    state = wl.init_fn(key)
+    cr, dt = cfg.physics.collision_range, cfg.dt
+    for scale, top_k in ((1.0, 4), (40.0, 3)):
+        reach, _ = pairs_ops.reach_radii(state.vel, cr * scale, dt, 8,
+                                         0.5 * dgrid.cell_size)
+        kw = dict(reach=reach, top_k=top_k, one_sided=True,
+                  half_shell=True)
+        seq, _, _ = collide.cell_candidate_search(state.pos, dgrid, **kw)
+        one, _, _ = collide.cell_candidate_search(state.pos, dgrid,
+                                                  onepass_topk=True, **kw)
+        np.testing.assert_array_equal(np.asarray(seq), np.asarray(one))
+        if scale > 1.0:  # inflated reach must saturate somewhere
+            assert (np.asarray(seq)[:, -1] >= 0).sum() > 0
+
+
+def test_onepass_topk_matches_exact_engine_bitwise():
+    """rebuild_onepass_topk is a pure scheduling knob: identical
+    candidate selection (unit test above) must yield bitwise-identical
+    trajectories end to end."""
+    k, steps, n = 5, 15, 3000
+    eng_a = amc.EngineConfig(dtype="float64", broadphase="cells",
+                             steps_per_epoch=k, narrowphase="pairs",
+                             rebuild_interval=k)
+    cfg_a = amc.temperature_pore_config(num_particles_override=n,
+                                        engine=eng_a)
+    st_a, m_a, _ = amc.Simulation(amc.make_workload(cfg_a)).run(
+        num_steps=steps)
+
+    eng_b = dataclasses.replace(eng_a, rebuild_onepass_topk=True)
+    cfg_b = amc.temperature_pore_config(num_particles_override=n,
+                                        engine=eng_b)
+    st_b, m_b, _ = amc.Simulation(amc.make_workload(cfg_b)).run(
+        num_steps=steps)
+
+    assert int(m_a.collision_count) == int(m_b.collision_count) > 0
+    np.testing.assert_array_equal(np.asarray(st_a.pos), np.asarray(st_b.pos))
+    np.testing.assert_array_equal(np.asarray(st_a.vel), np.asarray(st_b.vel))
+    np.testing.assert_array_equal(np.asarray(m_a.hist), np.asarray(m_b.hist))

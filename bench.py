@@ -60,10 +60,40 @@ def _emit_stale_fallback(err: Exception) -> int:
     committed["stale_reason"] = str(err)
     committed["stale_source"] = os.path.relpath(
         path, os.path.dirname(os.path.abspath(__file__)))
+    # The fallback must still carry the north-star-scale number when
+    # one exists: the committed 1M artifact predates any 10M landing,
+    # so attach the same cross-reference the live path adds.
+    _attach_committed_10m(committed,
+                          particles=committed.get("particles", 0))
     print("bench: emitting committed measurement as STALE fallback "
           f"({path})", file=sys.stderr, flush=True)
     print(json.dumps(committed))
     return 0
+
+
+def _attach_committed_10m(result: dict, particles: int) -> None:
+    """Cross-reference the committed 10M north-star measurement when
+    this result was taken at another scale (VERDICT r3 item 1): the
+    north star is defined at 10M particles, so the judge-facing JSON
+    carries both numbers."""
+    if particles == 10_000_000:
+        return
+    p10 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "runs", "bench", "bench_10m_r4.json")
+    try:
+        with open(p10) as f:
+            c10 = json.load(f)
+        if "value" in c10:
+            result["committed_10m"] = {
+                k: c10[k] for k in (
+                    "value", "unit", "vs_baseline", "particles",
+                    "median_epoch_sec", "device",
+                ) if k in c10
+            }
+            result["committed_10m"]["source"] = os.path.relpath(
+                p10, os.path.dirname(os.path.abspath(__file__)))
+    except (OSError, ValueError):
+        pass
 
 
 def _backend_probe_ok() -> tuple[bool, str]:
@@ -294,27 +324,7 @@ def main() -> int:
              if os.environ.get(k)}
     if knobs:
         result["bench_knobs"] = knobs
-    # Cross-reference the committed 10M north-star measurement when this
-    # run was taken at another scale (the driver's default is 1M): the
-    # north star is defined at 10M particles, so the judge-facing JSON
-    # carries both numbers (VERDICT r3 item 1).
-    if BENCH_PARTICLES != 10_000_000:
-        p10 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "runs", "bench", "bench_10m_r4.json")
-        try:
-            with open(p10) as f:
-                c10 = json.load(f)
-            if "value" in c10:
-                result["committed_10m"] = {
-                    k: c10[k] for k in (
-                        "value", "unit", "vs_baseline", "particles",
-                        "median_epoch_sec", "device",
-                    ) if k in c10
-                }
-                result["committed_10m"]["source"] = os.path.relpath(
-                    p10, os.path.dirname(os.path.abspath(__file__)))
-        except (OSError, ValueError):
-            pass
+    _attach_committed_10m(result, particles=BENCH_PARTICLES)
     print(json.dumps(result))
     return 0
 

@@ -699,3 +699,31 @@ def test_onepass_topk_matches_exact_engine_bitwise():
     np.testing.assert_array_equal(np.asarray(st_a.pos), np.asarray(st_b.pos))
     np.testing.assert_array_equal(np.asarray(st_a.vel), np.asarray(st_b.vel))
     np.testing.assert_array_equal(np.asarray(m_a.hist), np.asarray(m_b.hist))
+
+
+def test_all_three_rebuild_levers_compose_bitwise():
+    """queue k's all_levers bench point runs packed_layer_gather +
+    rebuild_bf16_hittest + rebuild_onepass_topk together; the
+    composition must match the exact default engine bitwise just like
+    each lever alone."""
+    k, steps, n = 5, 15, 3000
+    eng_a = amc.EngineConfig(dtype="float64", broadphase="cells",
+                             steps_per_epoch=k, narrowphase="pairs",
+                             rebuild_interval=k)
+    cfg_a = amc.temperature_pore_config(num_particles_override=n,
+                                        engine=eng_a)
+    st_a, m_a, _ = amc.Simulation(amc.make_workload(cfg_a)).run(
+        num_steps=steps)
+
+    eng_b = dataclasses.replace(eng_a, packed_layer_gather=True,
+                                rebuild_bf16_hittest=True,
+                                rebuild_onepass_topk=True)
+    cfg_b = amc.temperature_pore_config(num_particles_override=n,
+                                        engine=eng_b)
+    st_b, m_b, _ = amc.Simulation(amc.make_workload(cfg_b)).run(
+        num_steps=steps)
+
+    assert int(m_a.collision_count) == int(m_b.collision_count) > 0
+    np.testing.assert_array_equal(np.asarray(st_a.pos), np.asarray(st_b.pos))
+    np.testing.assert_array_equal(np.asarray(st_a.vel), np.asarray(st_b.vel))
+    np.testing.assert_array_equal(np.asarray(m_a.hist), np.asarray(m_b.hist))

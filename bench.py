@@ -46,7 +46,7 @@ def _emit_stale_fallback(err: Exception) -> int:
     path = os.environ.get(
         "BENCH_STALE_SOURCE",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "runs", "bench", "bench_1m_r4.json"),
+                     "runs", "bench", "bench_1m_r4b.json"),
     )
     try:
         with open(path) as f:

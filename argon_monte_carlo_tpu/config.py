@@ -143,6 +143,14 @@ class EngineConfig:
     # changes the traced HLO and would invalidate the warming 10M
     # compile caches mid-round).
     rebuild_onepass_topk: bool = False
+    # Skip empty active rows in the rebuild sweep (stable nonempty-
+    # first permutation + lax.cond chunk skip).  Default True (the
+    # shipping r4 program); False pins the static active-list layout
+    # so a bench point can A/B the skip on the same tree -- the
+    # queue-e comparison (2.45e7 skip vs 2.54e7 pre-skip) crossed
+    # program versions AND tunnel drift, so it could not attribute
+    # the ~4% delta.
+    rebuild_occupancy_skip: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

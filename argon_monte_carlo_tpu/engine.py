@@ -288,6 +288,10 @@ def pairs_config_for(workload: Workload, num_particles: int | None = None):
         import dataclasses as _dc
 
         pcfg = _dc.replace(pcfg, onepass_topk=True)
+    if not getattr(cfg.engine, "rebuild_occupancy_skip", True):
+        import dataclasses as _dc
+
+        pcfg = _dc.replace(pcfg, occupancy_skip=False)
     # The pair list can only cover collisions when the top-k emission
     # captures essentially every in-reach candidate.  Workloads whose
     # per-step drift is large relative to the collision range (the CUBE

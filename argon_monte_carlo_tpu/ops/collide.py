@@ -530,6 +530,7 @@ def cell_candidate_search(
     active_window: tuple | None = None,
     bf16_hit: bool = False,
     onepass_topk: bool = False,
+    occupancy_skip: bool = True,
 ):
     """Up to ``top_k`` lowest-index in-range candidates per particle.
 
@@ -735,7 +736,11 @@ def cell_candidate_search(
     # per-particle through the cell->row map), so the engine's bitwise
     # gates hold.  Windowed (sharded) mode keeps the static layout: its
     # a_start/active_rank contract assumes list order.
-    dyn_skip = use_active and cell_window is None
+    # occupancy_skip=False pins the static layout (A/B knob: the
+    # queue-e cross-version comparison measured the skip neutral-to-
+    # negative at 1M; EngineConfig.rebuild_occupancy_skip lets a bench
+    # point measure both forms on the SAME tree).
+    dyn_skip = use_active and cell_window is None and occupancy_skip
     if use_active:
         # Emission rows are GATHERED through the active list; one far
         # pad row (index num_rows) absorbs list padding, and the

@@ -90,6 +90,9 @@ class PairConfig:
     # One-pass tournament emission at rebuild (ops/collide.
     # _topk_lane_tree; EngineConfig.rebuild_onepass_topk).
     onepass_topk: bool = False
+    # Skip empty active rows at rebuild (EngineConfig.
+    # rebuild_occupancy_skip; False pins the static row layout).
+    occupancy_skip: bool = True
 
 
 @jax.tree_util.register_dataclass
@@ -185,6 +188,7 @@ def rebuild(state: ParticleState, grid: collide.DeviceGrid,
         valid=valid_lanes, cell_window=cell_window, one_sided=True,
         half_shell=True, active_window=active_window,
         bf16_hit=pcfg.bf16_hit, onepass_topk=pcfg.onepass_topk,
+        occupancy_skip=pcfg.occupancy_skip,
     )
     # Cell-table overflow -> HOT, not lost: a particle dropped from the
     # slot planes is invisible to every other particle's search, but a

@@ -727,3 +727,28 @@ def test_all_three_rebuild_levers_compose_bitwise():
     np.testing.assert_array_equal(np.asarray(st_a.pos), np.asarray(st_b.pos))
     np.testing.assert_array_equal(np.asarray(st_a.vel), np.asarray(st_b.vel))
     np.testing.assert_array_equal(np.asarray(m_a.hist), np.asarray(m_b.hist))
+
+
+def test_occupancy_skip_off_matches_default_bitwise():
+    """rebuild_occupancy_skip=False pins the static active-row layout;
+    per-particle candidates are layout-independent (readback goes
+    through the cell->row map), so trajectories must match the shipping
+    skip form bitwise."""
+    k, steps, n = 5, 15, 3000
+    eng_a = amc.EngineConfig(dtype="float32", broadphase="cells",
+                             steps_per_epoch=k, narrowphase="pairs",
+                             rebuild_interval=k)
+    cfg_a = amc.temperature_pore_config(num_particles_override=n,
+                                        engine=eng_a)
+    st_a, m_a, _ = amc.Simulation(amc.make_workload(cfg_a)).run(
+        num_steps=steps)
+
+    eng_b = dataclasses.replace(eng_a, rebuild_occupancy_skip=False)
+    cfg_b = amc.temperature_pore_config(num_particles_override=n,
+                                        engine=eng_b)
+    st_b, m_b, _ = amc.Simulation(amc.make_workload(cfg_b)).run(
+        num_steps=steps)
+
+    assert int(m_a.collision_count) == int(m_b.collision_count) > 0
+    np.testing.assert_array_equal(np.asarray(st_a.pos), np.asarray(st_b.pos))
+    np.testing.assert_array_equal(np.asarray(st_a.vel), np.asarray(st_b.vel))

@@ -331,7 +331,9 @@ class ShardedSimulation:
             self.host_grid = collide.grid_for_cube(geom, cell_size, capacity)
             center = (geom.lx / 2.0, geom.ly / 2.0)
         self.device_grid = collide.DeviceGrid.from_grid(
-            self.host_grid, self.dtype, center
+            self.host_grid, self.dtype, center,
+            packed_layers=getattr(cfg.engine, "packed_layer_gather",
+                                  False),
         )
         self.plan = make_shard_plan(workload, n_shards, self.host_grid)
         if self._pairs_mode:

@@ -246,3 +246,38 @@ def test_sharded_rejects_hist_flush_interval():
                                       engine=eng)
     with pytest.raises(ValueError, match="hist_flush_interval"):
         ShardedSimulation(amc.make_workload(cfg), mesh=make_mesh(2))
+
+
+def test_sharded_pairs_levers_match_sharded_sweep_bitwise():
+    """The three r4 rebuild levers (packed-layer assign, widened-
+    superset bf16 hit test, one-pass tournament emission) must hold
+    the sharded-pairs == sharded-sweep bitwise contract too -- the
+    sharded rebuild routes through the same cell_candidate_search with
+    a cell window, and a round-5 default flip must not be single-chip
+    only."""
+    import dataclasses
+
+    n, steps = 3000, 12
+    cfg_s, sim_s = make_sharded(n_devices=4, n_particles=n,
+                                energized=False)
+    state_s, m_s, _ = sim_s.run(num_steps=steps)
+
+    eng = EngineConfig(dtype="float64", broadphase="cells",
+                       steps_per_epoch=4, narrowphase="pairs",
+                       rebuild_interval=4,
+                       packed_layer_gather=True,
+                       rebuild_bf16_hittest=True,
+                       rebuild_onepass_topk=True)
+    cfg_p = amc.PoreConfig(num_particles_override=n, engine=eng)
+    sim_p = ShardedSimulation(amc.make_workload(cfg_p),
+                              mesh=make_mesh(4))
+    assert sim_p.device_grid.layer_packed is not None
+    state_p, m_p, _ = sim_p.run(num_steps=steps)
+
+    pos_s, vel_s = _gather_by_gid(state_s, n)
+    pos_p, vel_p = _gather_by_gid(state_p, n)
+    np.testing.assert_array_equal(pos_s, pos_p)
+    np.testing.assert_array_equal(vel_s, vel_p)
+    tot_s = sim_s.finalize_measure(m_s)
+    tot_p = sim_p.finalize_measure(m_p)
+    assert int(tot_s.collision_count) == int(tot_p.collision_count)

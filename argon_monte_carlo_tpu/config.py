@@ -151,6 +151,19 @@ class EngineConfig:
     # program versions AND tunnel drift, so it could not attribute
     # the ~4% delta.
     rebuild_occupancy_skip: bool = True
+    # Run the pair-list rebuild OUTSIDE jit (each op and the chunked
+    # sweep's internal lax.scan compile as their own small programs).
+    # Escape hatch for the 10M remote-compile wall: the service's
+    # compile cost is superlinear in program size at large N (the
+    # monolithic 10M rebuild never finished 2.5-4 h attempts; the
+    # fused->split experiment at 1M cut 14 min to 3.5 min), so maximal
+    # decomposition trades ~1 s/rebuild of per-op tunnel dispatch
+    # overhead -- amortized over K steps, irrelevant against a multi-
+    # second 10M window -- for tractable compiles, and its per-op
+    # first-dispatch timeline identifies WHICH op is the wall.
+    # Physics is bitwise-identical (tested); also reachable via
+    # ARGON_EAGER_REBUILD=1 without a config change.
+    eager_rebuild: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

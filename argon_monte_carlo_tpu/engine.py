@@ -536,6 +536,25 @@ class Simulation:
             # A separate jitted program from the step scan: see the
             # make_pairs_step_fn docstring (compile-size split).
             self._rebuild_jit = _engine_jit(run_rebuild)
+            # Escape hatch for the 10M remote-compile wall
+            # (EngineConfig.eager_rebuild / ARGON_EAGER_REBUILD=1): run
+            # the rebuild OUTSIDE jit, so each op -- and the chunked
+            # sweep's internal lax.scan -- compiles as its own small
+            # program instead of one monolith.  The remote TPU compile
+            # service's cost is superlinear in program size at large N
+            # (fused->split at 1M: 14 -> 3.5 min; the 10M monolithic
+            # rebuild never finished 2.5-4 h attempts), so maximal
+            # decomposition trades ~1 s/rebuild of per-op dispatch
+            # overhead (amortized /K steps; irrelevant against a
+            # multi-second 10M window) for tractable compiles.  Physics
+            # is bitwise-identical: the ops are the same XLA programs,
+            # eager fusion boundaries do not change reduction order
+            # (tested).
+            self._rebuild_eager = (
+                getattr(self.cfg.engine, "eager_rebuild", False)
+                or os.environ.get("ARGON_EAGER_REBUILD") == "1"
+            )
+            self._run_rebuild_eager = run_rebuild
 
             def run_epoch(state, measure, base_key, step_indices,
                           rebuilt_flags, dgrid, aux):
@@ -633,7 +652,8 @@ class Simulation:
         # program) compile time becomes the wall (the 10M path stays
         # split).  See EngineConfig.fused_epoch_max_particles.
         fused_ok = (self.cfg.num_molecules
-                    <= self.cfg.engine.fused_epoch_max_particles)
+                    <= self.cfg.engine.fused_epoch_max_particles
+                    and not self._rebuild_eager)
         outs = []
         i, total = 0, int(step_indices.shape[0])
         while i < total:
@@ -652,8 +672,10 @@ class Simulation:
                 continue
             rebuilt = False
             if self._window_left <= 0:
-                self._aux = self._rebuild_jit(state, self._aux,
-                                              self._dgrid)
+                rebuild_fn = (self._run_rebuild_eager
+                              if self._rebuild_eager else
+                              self._rebuild_jit)
+                self._aux = rebuild_fn(state, self._aux, self._dgrid)
                 self._window_left = k
                 rebuilt = True
             m = int(min(self._window_left, total - i))

@@ -189,6 +189,7 @@ def main() -> int:
         rebuild_bf16_hittest=os.environ.get("BENCH_BF16_HIT") == "1",
         rebuild_onepass_topk=os.environ.get("BENCH_ONEPASS_TOPK") == "1",
         rebuild_occupancy_skip=os.environ.get("BENCH_OCC_SKIP", "1") != "0",
+        eager_rebuild=os.environ.get("BENCH_EAGER_REBUILD") == "1",
     )
     cfg = amc.temperature_pore_config(engine=eng).scaled_to(BENCH_PARTICLES)
     n = cfg.num_molecules
@@ -321,7 +322,8 @@ def main() -> int:
     knobs = {k: os.environ[k] for k in
              ("BENCH_CELL_CAP", "BENCH_CELL_OCC",
               "BENCH_PACKED_LAYERS", "BENCH_BF16_HIT",
-              "BENCH_ONEPASS_TOPK", "BENCH_OCC_SKIP")
+              "BENCH_ONEPASS_TOPK", "BENCH_OCC_SKIP",
+              "BENCH_EAGER_REBUILD", "ARGON_EAGER_REBUILD")
              if os.environ.get(k)}
     if knobs:
         result["bench_knobs"] = knobs

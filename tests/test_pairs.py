@@ -752,3 +752,31 @@ def test_occupancy_skip_off_matches_default_bitwise():
     assert int(m_a.collision_count) == int(m_b.collision_count) > 0
     np.testing.assert_array_equal(np.asarray(st_a.pos), np.asarray(st_b.pos))
     np.testing.assert_array_equal(np.asarray(st_a.vel), np.asarray(st_b.vel))
+
+
+def test_eager_rebuild_matches_jitted_bitwise():
+    """eager_rebuild dispatches the same rebuild ops outside jit (the
+    10M remote-compile-wall escape hatch); fusion boundaries do not
+    change any reduction order, so trajectories must match the jitted
+    rebuild bitwise.  Also pins that eager mode disables the fused
+    whole-window program (the monolith it exists to avoid)."""
+    k, steps, n = 5, 15, 3000
+    eng_a = amc.EngineConfig(dtype="float64", broadphase="cells",
+                             steps_per_epoch=k, narrowphase="pairs",
+                             rebuild_interval=k)
+    cfg_a = amc.temperature_pore_config(num_particles_override=n,
+                                        engine=eng_a)
+    st_a, m_a, _ = amc.Simulation(amc.make_workload(cfg_a)).run(
+        num_steps=steps)
+
+    eng_b = dataclasses.replace(eng_a, eager_rebuild=True)
+    cfg_b = amc.temperature_pore_config(num_particles_override=n,
+                                        engine=eng_b)
+    sim_b = amc.Simulation(amc.make_workload(cfg_b))
+    assert sim_b._rebuild_eager
+    st_b, m_b, _ = sim_b.run(num_steps=steps)
+
+    assert int(m_a.collision_count) == int(m_b.collision_count) > 0
+    np.testing.assert_array_equal(np.asarray(st_a.pos), np.asarray(st_b.pos))
+    np.testing.assert_array_equal(np.asarray(st_a.vel), np.asarray(st_b.vel))
+    np.testing.assert_array_equal(np.asarray(m_a.hist), np.asarray(m_b.hist))

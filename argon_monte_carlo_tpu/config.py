@@ -164,6 +164,16 @@ class EngineConfig:
     # Physics is bitwise-identical (tested); also reachable via
     # ARGON_EAGER_REBUILD=1 without a config change.
     eager_rebuild: bool = False
+    # Mid-grain compile-wall mitigation: the rebuild as THREE jitted
+    # programs (tables | candidate sweep | list epilogue) instead of
+    # one monolith -- the same decomposition rationale as
+    # eager_rebuild (remote compile cost is superlinear in program
+    # size) at 3 dispatches per rebuild instead of ~50.  The
+    # tables|sweep boundary (mega, pslot) is already materialized in
+    # PairList, so the split adds only the (N, top_k) cands buffer of
+    # HBM traffic.  Trajectories bitwise-identical (tested); also
+    # reachable via ARGON_SPLIT_REBUILD=1 without a config change.
+    split_rebuild_programs: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

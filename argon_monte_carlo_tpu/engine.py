@@ -555,6 +555,65 @@ class Simulation:
                 or os.environ.get("ARGON_EAGER_REBUILD") == "1"
             )
             self._run_rebuild_eager = run_rebuild
+            # Mid-grain alternative (EngineConfig.split_rebuild_programs
+            # / ARGON_SPLIT_REBUILD=1): the rebuild as THREE jitted
+            # programs -- tables (bin/sort/pack), candidate sweep, list
+            # epilogue -- at the seams pairs.rebuild already exposes.
+            # Same compile-wall decomposition rationale as eager mode
+            # with only 3 dispatches per rebuild instead of ~50; the
+            # tables|sweep boundary (mega, pslot) is ALREADY
+            # materialized in PairList, so the split adds just the
+            # (N, top_k) cands buffer of HBM traffic.  Bitwise-
+            # identical trajectories (tested).
+            self._rebuild_split = (
+                getattr(self.cfg.engine, "split_rebuild_programs", False)
+                or os.environ.get("ARGON_SPLIT_REBUILD") == "1"
+            )
+            if self._rebuild_split:
+                k_reb = pcfg.rebuild_interval
+
+                def rb_tables(state, dgrid):
+                    reach, clipped = pairs_ops.reach_radii(
+                        state.vel, cr, dt, k_reb,
+                        0.5 * dgrid.cell_size)
+                    mega, pslot, overflow = collide.cell_candidate_search(
+                        state.pos, dgrid, reach=reach, top_k=pcfg.top_k,
+                        one_sided=True, half_shell=True,
+                        bf16_hit=pcfg.bf16_hit,
+                        onepass_topk=pcfg.onepass_topk,
+                        occupancy_skip=pcfg.occupancy_skip,
+                        tables_only=True,
+                    )
+                    return mega, pslot, overflow, clipped
+
+                def rb_sweep(mega, pslot, dgrid):
+                    return collide.cell_search_sweep(
+                        mega, pslot, dgrid, pslot.shape[0],
+                        has_ids=False, has_reach=True, top_k=pcfg.top_k,
+                        one_sided=True, half_shell=True,
+                        bf16_hit=pcfg.bf16_hit,
+                        onepass_topk=pcfg.onepass_topk,
+                        occupancy_skip=pcfg.occupancy_skip,
+                    )
+
+                def rb_finish(cands, overflow, pslot, mega, unswept,
+                              clipped, plist, dgrid):
+                    return pairs_ops.rebuild_finish(
+                        cands, overflow, pslot, mega, unswept, clipped,
+                        plist, dgrid, pcfg, pslot.shape[0],
+                    )
+
+                t_jit = _engine_jit(rb_tables)
+                s_jit = _engine_jit(rb_sweep)
+                f_jit = _engine_jit(rb_finish)
+
+                def run_rebuild_split(state, plist, dgrid):
+                    mega, pslot, overflow, clipped = t_jit(state, dgrid)
+                    cands, unswept = s_jit(mega, pslot, dgrid)
+                    return f_jit(cands, overflow, pslot, mega, unswept,
+                                 clipped, plist, dgrid)
+
+                self._run_rebuild_split = run_rebuild_split
 
             def run_epoch(state, measure, base_key, step_indices,
                           rebuilt_flags, dgrid, aux):
@@ -653,7 +712,8 @@ class Simulation:
         # split).  See EngineConfig.fused_epoch_max_particles.
         fused_ok = (self.cfg.num_molecules
                     <= self.cfg.engine.fused_epoch_max_particles
-                    and not self._rebuild_eager)
+                    and not self._rebuild_eager
+                    and not self._rebuild_split)
         outs = []
         i, total = 0, int(step_indices.shape[0])
         while i < total:
@@ -672,9 +732,12 @@ class Simulation:
                 continue
             rebuilt = False
             if self._window_left <= 0:
-                rebuild_fn = (self._run_rebuild_eager
-                              if self._rebuild_eager else
-                              self._rebuild_jit)
+                if self._rebuild_eager:
+                    rebuild_fn = self._run_rebuild_eager
+                elif self._rebuild_split:
+                    rebuild_fn = self._run_rebuild_split
+                else:
+                    rebuild_fn = self._rebuild_jit
                 self._aux = rebuild_fn(state, self._aux, self._dgrid)
                 self._window_left = k
                 rebuilt = True

@@ -531,6 +531,7 @@ def cell_candidate_search(
     bf16_hit: bool = False,
     onepass_topk: bool = False,
     occupancy_skip: bool = True,
+    tables_only: bool = False,
 ):
     """Up to ``top_k`` lowest-index in-range candidates per particle.
 
@@ -644,41 +645,6 @@ def cell_candidate_search(
         assert search_radius is not None
         pr = None
 
-    # Active-cell sweep (pairs rebuild): iterate only the static
-    # active-cell list -- 30-45% of the region-aware grid's cells are
-    # unreachable box corners/slack whose emission lanes are pure
-    # padding.  Gated on ``reach`` because only the pairs engine has
-    # the hot-set backstop for particles binned outside the list; the
-    # per-step sweep narrow phase (search_radius) must sweep every row
-    # or a stray's own mutual-match row would silently vanish.
-    # SHARDED windows ride the same list: it is sorted, so a shard's
-    # contiguous cell window maps to a contiguous SLICE of it --
-    # ``active_window`` = (rank of the window's first active cell,
-    # static max slice width over shards).
-    use_active = (grid.active_cells is not None and reach is not None
-                  and (cell_window is None or active_window is not None))
-    a_start = 0
-    if use_active:
-        if cell_window is None:
-            width = int(grid.active_cells.shape[0])
-        else:
-            a_start, width = active_window
-        start = 0  # emission rows come from the active list
-    elif cell_window is None:
-        start, width = 0, grid.num_cells
-    else:
-        start, width = cell_window
-
-    r2 = (None if search_radius is None
-          else jnp.asarray(search_radius * search_radius, pos.dtype))
-    int_big = jnp.int32(2**30)
-    # Offsets per gather group: the candidate minor axis is group*cap
-    # wide and the VPU pads it to a multiple of 128 lanes, so pick the
-    # largest group with group*cap <= 128 (cap 24 -> 5 = 120 lanes, cap
-    # 16 -> 8 = 128, cap 32 -> 4 = 128).  Grouping only batches the
-    # masked min-reduces; the emitted top-k set is grouping-invariant.
-    group = max(1, min(27, 128 // cap))
-
     # All candidate planes packed side by side so each neighbour-cell
     # access is ONE wide row gather instead of several narrow ones (TPU
     # gather cost is dominated by per-row overhead).  Integer planes
@@ -709,6 +675,78 @@ def cell_candidate_search(
 
     def unpack_int(block_col):
         return block_col.astype(jnp.int32)
+
+    if tables_only:
+        return mega, pslot, overflow
+    cands, unswept = _candidate_sweep(
+        mega, table, pslot, px, py, pz, pid, pr, grid, n,
+        search_radius=search_radius, top_k=top_k, has_ids=has_ids,
+        cell_window=cell_window, one_sided=one_sided,
+        half_shell=half_shell, active_window=active_window,
+        bf16_hit=bf16_hit, onepass_topk=onepass_topk,
+        occupancy_skip=occupancy_skip,
+    )
+    return cands, overflow, (pslot, mega, unswept)
+
+
+def _candidate_sweep(
+    mega, table, pslot, px, py, pz, pid, pr, grid, n, *,
+    search_radius=None, top_k=1, has_ids=False, cell_window=None,
+    one_sided=False, half_shell=False, active_window=None,
+    bf16_hit=False, onepass_topk=False, occupancy_skip=True,
+):
+    """The candidate sweep half of ``cell_candidate_search`` (moved
+    verbatim; the head builds the cell table and packed planes).  Split
+    out so ``cell_search_sweep`` can run it as its OWN jitted program
+    in the split-rebuild mode (EngineConfig.split_rebuild_programs):
+    the fused path passes the head's original plane views, so its
+    traced HLO is byte-identical to the pre-split monolith (guarded by
+    scripts/hlo_hash.py)."""
+    cap = grid.capacity
+    num_rows = grid.num_cells + 1
+    has_reach = pr is not None
+    ix_plane = 3
+    id_plane = 4 if has_ids else 3
+    if has_reach:
+        reach_plane = (5 if has_ids else 4)
+
+    def unpack_int(block_col):
+        return block_col.astype(jnp.int32)
+
+    # Active-cell sweep (pairs rebuild): iterate only the static
+    # active-cell list -- 30-45% of the region-aware grid's cells are
+    # unreachable box corners/slack whose emission lanes are pure
+    # padding.  Gated on ``reach`` because only the pairs engine has
+    # the hot-set backstop for particles binned outside the list; the
+    # per-step sweep narrow phase (search_radius) must sweep every row
+    # or a stray's own mutual-match row would silently vanish.
+    # SHARDED windows ride the same list: it is sorted, so a shard's
+    # contiguous cell window maps to a contiguous SLICE of it --
+    # ``active_window`` = (rank of the window's first active cell,
+    # static max slice width over shards).
+    use_active = (grid.active_cells is not None and has_reach
+                  and (cell_window is None or active_window is not None))
+    a_start = 0
+    if use_active:
+        if cell_window is None:
+            width = int(grid.active_cells.shape[0])
+        else:
+            a_start, width = active_window
+        start = 0  # emission rows come from the active list
+    elif cell_window is None:
+        start, width = 0, grid.num_cells
+    else:
+        start, width = cell_window
+
+    r2 = (None if search_radius is None
+          else jnp.asarray(search_radius * search_radius, mega.dtype))
+    int_big = jnp.int32(2**30)
+    # Offsets per gather group: the candidate minor axis is group*cap
+    # wide and the VPU pads it to a multiple of 128 lanes, so pick the
+    # largest group with group*cap <= 128 (cap 24 -> 5 = 120 lanes, cap
+    # 16 -> 8 = 128, cap 32 -> 4 = 128).  Grouping only batches the
+    # masked min-reduces; the emitted top-k set is grouping-invariant.
+    group = max(1, min(27, 128 // cap))
 
     # The sweep is chunked over cells so the (chunk, cap, group*cap)
     # intermediates stay ~256MB regardless of grid size (an unchunked
@@ -981,7 +1019,44 @@ def cell_candidate_search(
         rel = jnp.clip(rel, 0, width * cap - 1)
         cands = jnp.where(in_window[:, None], cand_flat[rel], -1)
         unswept = jnp.zeros((n,), jnp.bool_)
-    return cands, overflow, (pslot, mega, unswept)
+    return cands, unswept
+
+
+def cell_search_sweep(
+    mega, pslot, grid, n, *,
+    has_ids=False, has_reach=True, top_k=1, cell_window=None,
+    one_sided=False, half_shell=False, active_window=None,
+    bf16_hit=False, onepass_topk=False, occupancy_skip=True,
+):
+    """Run the candidate sweep as a STANDALONE program from a packed
+    plane set produced by ``cell_candidate_search(tables_only=True)``.
+
+    Split-rebuild mode (EngineConfig.split_rebuild_programs): the 10M
+    remote-compile wall is superlinear in program size, so the rebuild
+    compiles as tables | sweep | epilogue instead of one monolith.
+    The planes are reconstructed from ``mega`` by slicing (the integer
+    planes ride as floats, exact below 2^24 -- enforced at pack time),
+    so values -- and therefore trajectories -- are bitwise-identical
+    to the fused path (tested); only the program boundaries move.
+    """
+    cap = grid.capacity
+
+    def plane(k):
+        return mega[:, k * cap:(k + 1) * cap]
+
+    px, py, pz = plane(0), plane(1), plane(2)
+    table = plane(3).astype(jnp.int32)
+    pid = plane(4).astype(jnp.int32) if has_ids else table
+    pr = plane(5 if has_ids else 4) if has_reach else None
+    return _candidate_sweep(
+        mega, table, pslot, px, py, pz, pid, pr, grid, n,
+        search_radius=None, top_k=top_k, has_ids=has_ids,
+        cell_window=cell_window, one_sided=one_sided,
+        half_shell=half_shell, active_window=active_window,
+        bf16_hit=bf16_hit, onepass_topk=onepass_topk,
+        occupancy_skip=occupancy_skip,
+    )
+
 
 
 def allpairs_partner_search(

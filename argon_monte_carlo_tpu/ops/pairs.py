@@ -203,6 +203,23 @@ def rebuild(state: ParticleState, grid: collide.DeviceGrid,
     # table-dropped particles in the same neighbourhood can't see each
     # other (~(drop rate)^2 ~ 1e-8 of pairs at the chosen tail, and
     # drops themselves remain counted in ``overflow``).
+    return rebuild_finish(cands, cell_overflow, pslot0, mega0,
+                          unswept, clipped, old, grid, pcfg, n,
+                          ids=ids, valid_lanes=valid_lanes)
+
+
+def rebuild_finish(cands, cell_overflow, pslot0, mega0, unswept,
+                   clipped, old: PairList, grid: collide.DeviceGrid,
+                   pcfg: PairConfig, n: int,
+                   ids: jnp.ndarray | None = None,
+                   valid_lanes: jnp.ndarray | None = None) -> PairList:
+    """Rebuild epilogue: candidate rows -> compacted PairList.
+
+    Split out of ``rebuild`` verbatim so the split-rebuild mode
+    (EngineConfig.split_rebuild_programs) can jit it as its own
+    program; the fused ``rebuild`` composes the same functions in
+    one trace, so its HLO is unchanged (scripts/hlo_hash.py).
+    """
     table_dropped = pslot0 >= grid.num_cells * grid.capacity
     if valid_lanes is not None:
         table_dropped = table_dropped & valid_lanes
@@ -261,6 +278,8 @@ def rebuild(state: ParticleState, grid: collide.DeviceGrid,
         spill=old.spill + cell_overflow
         + jnp.sum(unswept, dtype=jnp.int32),
     )
+
+
 
 
 def test_and_resolve(

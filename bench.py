@@ -190,6 +190,8 @@ def main() -> int:
         rebuild_onepass_topk=os.environ.get("BENCH_ONEPASS_TOPK") == "1",
         rebuild_occupancy_skip=os.environ.get("BENCH_OCC_SKIP", "1") != "0",
         eager_rebuild=os.environ.get("BENCH_EAGER_REBUILD") == "1",
+        split_rebuild_programs=(
+            os.environ.get("BENCH_SPLIT_REBUILD") == "1"),
     )
     cfg = amc.temperature_pore_config(engine=eng).scaled_to(BENCH_PARTICLES)
     n = cfg.num_molecules
@@ -323,7 +325,8 @@ def main() -> int:
              ("BENCH_CELL_CAP", "BENCH_CELL_OCC",
               "BENCH_PACKED_LAYERS", "BENCH_BF16_HIT",
               "BENCH_ONEPASS_TOPK", "BENCH_OCC_SKIP",
-              "BENCH_EAGER_REBUILD", "ARGON_EAGER_REBUILD")
+              "BENCH_EAGER_REBUILD", "ARGON_EAGER_REBUILD",
+              "BENCH_SPLIT_REBUILD", "ARGON_SPLIT_REBUILD")
              if os.environ.get(k)}
     if knobs:
         result["bench_knobs"] = knobs

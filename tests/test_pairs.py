@@ -780,3 +780,58 @@ def test_eager_rebuild_matches_jitted_bitwise():
     np.testing.assert_array_equal(np.asarray(st_a.pos), np.asarray(st_b.pos))
     np.testing.assert_array_equal(np.asarray(st_a.vel), np.asarray(st_b.vel))
     np.testing.assert_array_equal(np.asarray(m_a.hist), np.asarray(m_b.hist))
+
+
+def test_split_rebuild_matches_fused_bitwise():
+    """split_rebuild_programs runs the rebuild as three jitted programs
+    (tables | sweep | epilogue); the sweep program reconstructs planes
+    from the packed mega by slicing (values identical -- integer planes
+    exact below 2^24), so trajectories must match the monolithic
+    rebuild bitwise."""
+    k, steps, n = 5, 15, 3000
+    eng_a = amc.EngineConfig(dtype="float64", broadphase="cells",
+                             steps_per_epoch=k, narrowphase="pairs",
+                             rebuild_interval=k)
+    cfg_a = amc.temperature_pore_config(num_particles_override=n,
+                                        engine=eng_a)
+    st_a, m_a, _ = amc.Simulation(amc.make_workload(cfg_a)).run(
+        num_steps=steps)
+
+    eng_b = dataclasses.replace(eng_a, split_rebuild_programs=True)
+    cfg_b = amc.temperature_pore_config(num_particles_override=n,
+                                        engine=eng_b)
+    sim_b = amc.Simulation(amc.make_workload(cfg_b))
+    assert sim_b._rebuild_split
+    st_b, m_b, _ = sim_b.run(num_steps=steps)
+
+    assert int(m_a.collision_count) == int(m_b.collision_count) > 0
+    np.testing.assert_array_equal(np.asarray(st_a.pos), np.asarray(st_b.pos))
+    np.testing.assert_array_equal(np.asarray(st_a.vel), np.asarray(st_b.vel))
+    np.testing.assert_array_equal(np.asarray(m_a.hist), np.asarray(m_b.hist))
+
+
+def test_split_rebuild_float32_with_levers_bitwise():
+    """Split rebuild at engine dtype float32 (the bench dtype: exercises
+    the f32 plane reconstruction casts) composed with the three r4
+    levers must still match the fused default engine bitwise."""
+    k, steps, n = 5, 10, 3000
+    eng_a = amc.EngineConfig(dtype="float32", broadphase="cells",
+                             steps_per_epoch=k, narrowphase="pairs",
+                             rebuild_interval=k)
+    cfg_a = amc.temperature_pore_config(num_particles_override=n,
+                                        engine=eng_a)
+    st_a, m_a, _ = amc.Simulation(amc.make_workload(cfg_a)).run(
+        num_steps=steps)
+
+    eng_b = dataclasses.replace(eng_a, split_rebuild_programs=True,
+                                packed_layer_gather=True,
+                                rebuild_bf16_hittest=True,
+                                rebuild_onepass_topk=True)
+    cfg_b = amc.temperature_pore_config(num_particles_override=n,
+                                        engine=eng_b)
+    st_b, m_b, _ = amc.Simulation(amc.make_workload(cfg_b)).run(
+        num_steps=steps)
+
+    assert int(m_a.collision_count) == int(m_b.collision_count) > 0
+    np.testing.assert_array_equal(np.asarray(st_a.pos), np.asarray(st_b.pos))
+    np.testing.assert_array_equal(np.asarray(st_a.vel), np.asarray(st_b.vel))

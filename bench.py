@@ -96,6 +96,52 @@ def _attach_committed_10m(result: dict, particles: int) -> None:
         pass
 
 
+def _self_deadline_guard() -> int | None:
+    """Watchdog against a WEDGED remote compile service.
+
+    The backend probe catches a dead tunnel, but 2026-08-19 showed a
+    second failure shape: jax.devices() answers in seconds while every
+    compile RPC stalls indefinitely (two killed 10M precompiles left
+    the remote service crawling -- cached 10M init ops that had
+    compiled in 263 s would not even replay in 20 min).  A bench run
+    that hangs inside XLA compile past the driver's own timeout
+    records NOTHING (the r3 0-byte 10M artifact).  So the measurement
+    runs in a child process under a hard deadline; on expiry the
+    parent emits the committed stale fallback instead of nothing.
+
+    Returns None when this IS the child (or the guard is disabled):
+    proceed with the real measurement.  Otherwise returns the exit
+    code to use.  Default deadline 2400 s (a healthy cold 1M run is
+    ~20 min incl. the ~14 min fused compile); 0 disables; CPU runs
+    (tests) default to disabled.
+    """
+    if os.environ.get("BENCH_CHILD") == "1":
+        return None
+    default = 0 if os.environ.get("JAX_PLATFORMS", "") == "cpu" else 2400
+    deadline = int(os.environ.get("BENCH_SELF_DEADLINE", default))
+    if deadline <= 0:
+        return None
+    import subprocess
+    env = dict(os.environ, BENCH_CHILD="1")
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            stdout=subprocess.PIPE, text=True, timeout=deadline,
+        )
+    except subprocess.TimeoutExpired:
+        return _emit_stale_fallback(RuntimeError(
+            f"self-deadline {deadline}s exceeded -- backend answered "
+            "the liveness probe but the measurement never finished "
+            "(wedged remote compile service?)"))
+    lines = [ln for ln in (out.stdout or "").splitlines() if ln.strip()]
+    if out.returncode == 0 and lines:
+        print(lines[-1])  # the child's single JSON contract line
+        return 0
+    return _emit_stale_fallback(RuntimeError(
+        f"bench child exited rc={out.returncode} "
+        f"{'with no output' if not lines else 'without valid output'}"))
+
+
 def _backend_probe_ok() -> tuple[bool, str]:
     """Bounded backend liveness probe in a SUBPROCESS.
 
@@ -136,6 +182,9 @@ def _backend_probe_ok() -> tuple[bool, str]:
 
 
 def main() -> int:
+    guard_rc = _self_deadline_guard()
+    if guard_rc is not None:
+        return guard_rc
     ok, why = _backend_probe_ok()
     if not ok:
         return _emit_stale_fallback(

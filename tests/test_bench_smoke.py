@@ -23,6 +23,9 @@ def test_bench_script_prints_contract_json():
     env["BENCH_WARMUP_STEPS"] = "8"
     env["BENCH_STEPS"] = "16"
     env["JAX_CACHE_DIR"] = os.path.expanduser("~/.cache/jax_argon_tests")
+    # Exercise the self-deadline wrapper on the healthy path too: the
+    # parent must forward the child's JSON line untouched.
+    env["BENCH_SELF_DEADLINE"] = "590"
     env["PYTHONPATH"] = os.pathsep.join(
         p for p in [repo, env.get("PYTHONPATH", "")] if p
     )
@@ -89,4 +92,30 @@ def test_bench_probe_failure_bounds_to_stale_line():
     result = json.loads(proc.stdout.strip().splitlines()[-1])
     assert result["stale"] is True
     assert "probe failed" in result["stale_reason"]
+    assert result["value"] > 0
+
+
+def test_bench_self_deadline_bounds_a_wedged_run_to_stale_line():
+    """2026-08-19 failure shape: the backend probe succeeds in seconds
+    while every compile RPC stalls indefinitely (wedged remote compile
+    service).  The self-deadline watchdog must convert that hang into
+    the STALE contract line instead of letting the driver's timeout
+    record nothing.  A 1 s deadline expires deterministically (child
+    interpreter start alone exceeds it)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["BENCH_SELF_DEADLINE"] = "1"
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [repo, env.get("PYTHONPATH", "")] if p
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=300, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["stale"] is True
+    assert "self-deadline" in result["stale_reason"]
     assert result["value"] > 0

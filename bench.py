@@ -39,7 +39,13 @@ def _emit_stale_fallback(err: Exception) -> int:
     then failed UNAVAILABLE for 24h+).  Instead of exiting with no
     number, emit the most recent COMMITTED on-chip measurement of this
     workload, unmistakably labelled stale -- the value was measured on
-    the same chip, just not at bench time."""
+    the same chip, just not at bench time.
+
+    Exit code: 0 by default (the driver's end-of-round run must record
+    SOMETHING), but BENCH_STALE_EXIT_NONZERO=1 makes it 3 so queue
+    scripts that gate on rc never commit a stale line as a landed
+    measurement (ADVICE r4 high: a stale fallback once risked being
+    mv'd into a lever artifact and skipping that lever forever)."""
     # Default: the most recent committed on-chip measurement of the
     # SHIPPING program (ADVICE r3: the halfshell artifact predates the
     # active-cells sweep and would overstate an outage fallback ~26%).
@@ -68,7 +74,7 @@ def _emit_stale_fallback(err: Exception) -> int:
     print("bench: emitting committed measurement as STALE fallback "
           f"({path})", file=sys.stderr, flush=True)
     print(json.dumps(committed))
-    return 0
+    return 3 if os.environ.get("BENCH_STALE_EXIT_NONZERO") == "1" else 0
 
 
 def _attach_committed_10m(result: dict, particles: int) -> None:
@@ -112,33 +118,82 @@ def _self_deadline_guard() -> int | None:
     Returns None when this IS the child (or the guard is disabled):
     proceed with the real measurement.  Otherwise returns the exit
     code to use.  Default deadline 2400 s (a healthy cold 1M run is
-    ~20 min incl. the ~14 min fused compile); 0 disables; CPU runs
-    (tests) default to disabled.
+    ~20 min incl. the ~14 min fused compile) up to 2M particles; at
+    larger N a cold remote compile legitimately takes hours (ADVICE
+    r4: a healthy uncached 10M run must not be killed mid-compile by
+    a 1M-sized default), so the default DISABLES the guard and large-N
+    queues must set BENCH_SELF_DEADLINE explicitly.  0 disables; CPU
+    runs (tests) default to disabled.
+
+    The child runs in its own process group and the parent forwards
+    SIGTERM/SIGINT to that group, so an outer ``timeout`` killing the
+    parent can no longer orphan a grandchild that keeps a wedged
+    compile RPC holding the single TPU grant (ADVICE r4 medium).
     """
     if os.environ.get("BENCH_CHILD") == "1":
         return None
-    default = 0 if os.environ.get("JAX_PLATFORMS", "") == "cpu" else 2400
-    deadline = int(os.environ.get("BENCH_SELF_DEADLINE", default))
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        default = 0
+    else:
+        default = 2400 if BENCH_PARTICLES <= 2_000_000 else 0
+    try:
+        deadline = int(os.environ.get("BENCH_SELF_DEADLINE") or default)
+    except ValueError:
+        print(f"bench: invalid BENCH_SELF_DEADLINE "
+              f"{os.environ.get('BENCH_SELF_DEADLINE')!r}; using default "
+              f"{default}", file=sys.stderr, flush=True)
+        deadline = default
     if deadline <= 0:
+        if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+            print("bench: self-deadline guard disabled "
+                  f"(N={BENCH_PARTICLES})", file=sys.stderr, flush=True)
         return None
+    print(f"bench: self-deadline {deadline}s (N={BENCH_PARTICLES})",
+          file=sys.stderr, flush=True)
+    import signal
     import subprocess
     env = dict(os.environ, BENCH_CHILD="1")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)], env=env,
+        stdout=subprocess.PIPE, text=True, start_new_session=True,
+    )
+
+    def _kill_child_group(*_args):
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+
+    # An outer `timeout`/driver kill of THIS process must take the
+    # child's whole group with it (the wedged compile RPC lives there).
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, lambda *_a: (_kill_child_group(), sys.exit(124)))
     try:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)], env=env,
-            stdout=subprocess.PIPE, text=True, timeout=deadline,
-        )
+        stdout, _ = proc.communicate(timeout=deadline)
     except subprocess.TimeoutExpired:
+        _kill_child_group()
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            pass
         return _emit_stale_fallback(RuntimeError(
             f"self-deadline {deadline}s exceeded -- backend answered "
             "the liveness probe but the measurement never finished "
             "(wedged remote compile service?)"))
-    lines = [ln for ln in (out.stdout or "").splitlines() if ln.strip()]
-    if out.returncode == 0 and lines:
-        print(lines[-1])  # the child's single JSON contract line
+    lines = [ln for ln in (stdout or "").splitlines() if ln.strip()]
+    if proc.returncode == 0 and lines:
+        # Forward only a valid JSON contract line (ADVICE r4 low: any
+        # stray non-JSON stdout with rc=0 was forwarded verbatim).
+        try:
+            json.loads(lines[-1])
+        except ValueError:
+            return _emit_stale_fallback(RuntimeError(
+                "bench child rc=0 but last stdout line is not JSON: "
+                + lines[-1][:200]))
+        print(lines[-1])
         return 0
     return _emit_stale_fallback(RuntimeError(
-        f"bench child exited rc={out.returncode} "
+        f"bench child exited rc={proc.returncode} "
         f"{'with no output' if not lines else 'without valid output'}"))
 
 

@@ -37,9 +37,22 @@ def mark(msg):
 
 
 T0 = time.time()
+# Mirror bench.py's lever-knob env block EXACTLY (same names, same
+# defaults) so a queue that pins knobs via env precompiles the same
+# programs bench.py will then load from cache -- and so flipping a
+# config.py default mid-round cannot desync the two.
 eng = amc.EngineConfig(
     dtype="float32", broadphase="cells", steps_per_epoch=K,
     hist_flush_interval=1, narrowphase="pairs", rebuild_interval=K,
+    cell_capacity=(int(os.environ["BENCH_CELL_CAP"])
+                   if os.environ.get("BENCH_CELL_CAP") else None),
+    cell_occupancy=float(os.environ.get("BENCH_CELL_OCC", 11.0)),
+    packed_layer_gather=os.environ.get("BENCH_PACKED_LAYERS") == "1",
+    rebuild_bf16_hittest=os.environ.get("BENCH_BF16_HIT") == "1",
+    rebuild_onepass_topk=os.environ.get("BENCH_ONEPASS_TOPK") == "1",
+    rebuild_occupancy_skip=os.environ.get("BENCH_OCC_SKIP", "1") != "0",
+    eager_rebuild=os.environ.get("BENCH_EAGER_REBUILD") == "1",
+    split_rebuild_programs=os.environ.get("BENCH_SPLIT_REBUILD") == "1",
 )
 cfg = amc.temperature_pore_config(engine=eng).scaled_to(N)
 mark(f"config N={cfg.num_molecules}")

@@ -49,12 +49,18 @@ def build_parser() -> argparse.ArgumentParser:
         w.add_argument("--dtype", choices=["float32", "float64"],
                        default="float32")
         w.add_argument("--narrowphase", choices=["sweep", "pairs"],
-                       default="sweep",
+                       default=None,
                        help="'pairs' = Verlet reach-pair list (sweep only "
-                            "every --rebuild-interval steps)")
-        w.add_argument("--rebuild-interval", type=int, default=1,
+                            "every --rebuild-interval steps).  Default: "
+                            "pairs for the pore workloads (the measured-"
+                            "best flagship engine, ~2x the sweep's "
+                            "throughput at 1M), sweep for the cube (its "
+                            "per-step drift is ~19 collision ranges -- "
+                            "no top-k pair budget can cover it, and the "
+                            "engine refuses).")
+        w.add_argument("--rebuild-interval", type=int, default=None,
                        help="pair-list rebuild period K (narrowphase="
-                            "pairs)")
+                            "pairs; default 8, the bench configuration)")
         w.add_argument("--broadphase", choices=["cells", "allpairs"],
                        default=None)
         w.add_argument("--steps-per-epoch", type=int, default=100)
@@ -82,11 +88,22 @@ def build_parser() -> argparse.ArgumentParser:
 def make_config(args):
     from .config import CubeConfig, EngineConfig, PoreConfig
 
+    # Workload-aware engine defaults: the pore workloads ship the
+    # flagship pairs/K=8 engine (the configuration every committed
+    # bench number measures); the cube stays on the per-step sweep
+    # (pairs_config_for refuses its ~19-collision-range-per-step
+    # drift regime outright).
+    narrowphase = getattr(args, "narrowphase", None)
+    if narrowphase is None:
+        narrowphase = "sweep" if args.workload == "cube" else "pairs"
+    rebuild_interval = getattr(args, "rebuild_interval", None)
+    if rebuild_interval is None:
+        rebuild_interval = 8 if narrowphase == "pairs" else 1
     eng_kwargs = dict(dtype=args.dtype, steps_per_epoch=args.steps_per_epoch,
                       debug_audits=args.debug_audits,
                       check_finite=args.check_finite,
-                      narrowphase=getattr(args, "narrowphase", "sweep"),
-                      rebuild_interval=getattr(args, "rebuild_interval", 1))
+                      narrowphase=narrowphase,
+                      rebuild_interval=rebuild_interval)
     if args.workload == "cube":
         eng_kwargs.setdefault("broadphase", args.broadphase or "allpairs")
         cfg = CubeConfig(

@@ -79,19 +79,9 @@ class EngineConfig:
     # Count non-finite state elements per step (NaN/inf sanitizer; the
     # reference uses np.seterr(all='raise'), Open_Air_Pore_MC.py:11).
     check_finite: bool = False
-    # Removed knob kept for config-file compatibility: staged histogram
-    # events are now compacted before binning (ops/measure.flush_pending),
-    # which obsoleted the Pallas compare-reduce histogram kernel.
-    use_pallas_hist: bool = False
-    # Removed knob kept for config-file compatibility: the Pallas
-    # sliding-window sweep kernel was deleted in round 3 after measuring
-    # 5.5x SLOWER than the chunked XLA gather-sweep on the attached chip
-    # (its (R, CAP, CAP) inner shape lowers to per-sublane vector ops,
-    # and this chip's throttled VPU + cheap gathers invert the usual
-    # cost model).  ARCHITECTURE.md "Pallas post-mortem" records the
-    # measurements and the rotation-form design that would be worth
-    # revisiting on full-ratio hardware.
-    use_pallas_sweep: str = "off"
+    # (Two tombstone knobs -- use_pallas_hist, use_pallas_sweep --
+    # were deleted in round 5; ARCHITECTURE.md "Pallas post-mortem"
+    # keeps the measurements that retired the kernels they gated.)
     # Flush staged histogram events every N steps.  1 is exact per the
     # one-pending-slot-per-particle semantics; larger values trade a tiny
     # sample loss (a particle colliding twice within the window only bins
@@ -109,10 +99,10 @@ class EngineConfig:
     # cuts the rebuild's binning term to ~1/3.  Cell ids are
     # bitwise-identical (integer layer values < 2^24 round-trip float
     # exactly; the guard in DeviceGrid.from_grid refuses otherwise).
-    # Default False until the r4 on-chip probe lands (flipping it
-    # changes the traced HLO and would invalidate the warming 10M
-    # compile caches mid-round).
-    packed_layer_gather: bool = False
+    # Default True since round 5: the r4 on-chip lever bench measured
+    # 2.574e7 vs the 2.54e7 baseline at 1M (+1.3%, the only winning
+    # lever of the six; runs/bench/bench_1m_packed.json).
+    packed_layer_gather: bool = True
     # Compute the PAIR-LIST REBUILD's candidate distance test in
     # bfloat16 (differences still formed in f32 -- absolute positions
     # would lose ~2e-9 m to bf16 rounding, larger than the collision
@@ -125,24 +115,16 @@ class EngineConfig:
     # (ops/pairs.rebuild:198-203).  Resolution always re-tests exact
     # f32 overlap per step, so trajectories are unchanged.  Only the
     # rebuild converts; the per-step sweep narrow phase and the
-    # research path stay f32.  Default False pending the on-chip
-    # cast-form measurement (probe_bf16_vpu.py measured the all-bf16
-    # form at 0.901x; the cast form is what the engine actually runs).
+    # research path stay f32.  Default False: the r4 on-chip lever
+    # bench measured 2.539e7 vs the 2.54e7 baseline at 1M (~0 despite
+    # the isolated hit-block probe's 0.876x -- the cast overhead eats
+    # the narrower reads once embedded in the fused sweep).  Kept as a
+    # knob for the round-5 interleaved A/B (scripts/ab_bench.py).
     rebuild_bf16_hittest: bool = False
-    # Emit the rebuild's top-k candidates with a ONE-PASS pairwise
-    # tournament (sorted-merge selection network) instead of top_k
-    # sequential masked min-passes.  The sequential form re-traverses
-    # the (rows, cap, group*cap) hit volume once per slot (each pass
-    # re-masks on the previous minimum -- a serial dependence XLA
-    # cannot fuse away); the tournament reads it once for ~half the
-    # VPU ops.  Output is bitwise-identical: lane values are unique
-    # (one cell slot per particle; out-of-range neighbour offsets hit
-    # the sentinel empty row), so k-smallest selection and iterated
-    # strict-greater re-masking pick the same candidates (tested).
-    # Default False pending the on-chip merge-gate bench (flipping it
-    # changes the traced HLO and would invalidate the warming 10M
-    # compile caches mid-round).
-    rebuild_onepass_topk: bool = False
+    # (rebuild_onepass_topk was deleted in round 5: the one-pass
+    # tournament emission measured 2.32e7 vs the 2.54e7 baseline at 1M
+    # (-8.6%) despite halving the VPU op count on paper -- COMPONENTS.md
+    # "One-pass top-k post-mortem" records why.)
     # Skip empty active rows in the rebuild sweep (stable nonempty-
     # first permutation + lax.cond chunk skip).  Default True (the
     # shipping r4 program); False pins the static active-list layout

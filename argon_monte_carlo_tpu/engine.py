@@ -176,7 +176,6 @@ def make_step_fn(workload: Workload, device_grid=None, host_grid=None):
         if eng.hist_flush_interval <= 1:
             measure = measure_ops.flush_pending(
                 measure, eng.num_bins, eng.hist_range[1],
-                use_pallas=eng.use_pallas_hist,
             )
         else:
             # Events accumulate across the flush window (one pending
@@ -191,7 +190,6 @@ def make_step_fn(workload: Workload, device_grid=None, host_grid=None):
                 step_index % eng.hist_flush_interval == 0,
                 lambda m: measure_ops.flush_pending(
                     m, eng.num_bins, eng.hist_range[1],
-                    use_pallas=eng.use_pallas_hist,
                     capacity=flush_cap,
                 ),
                 lambda m: m,
@@ -284,10 +282,6 @@ def pairs_config_for(workload: Workload, num_particles: int | None = None):
         import dataclasses as _dc
 
         pcfg = _dc.replace(pcfg, bf16_hit=True)
-    if getattr(cfg.engine, "rebuild_onepass_topk", False):
-        import dataclasses as _dc
-
-        pcfg = _dc.replace(pcfg, onepass_topk=True)
     if not getattr(cfg.engine, "rebuild_occupancy_skip", True):
         import dataclasses as _dc
 
@@ -580,7 +574,6 @@ class Simulation:
                         state.pos, dgrid, reach=reach, top_k=pcfg.top_k,
                         one_sided=True, half_shell=True,
                         bf16_hit=pcfg.bf16_hit,
-                        onepass_topk=pcfg.onepass_topk,
                         occupancy_skip=pcfg.occupancy_skip,
                         tables_only=True,
                     )
@@ -592,7 +585,6 @@ class Simulation:
                         has_ids=False, has_reach=True, top_k=pcfg.top_k,
                         one_sided=True, half_shell=True,
                         bf16_hit=pcfg.bf16_hit,
-                        onepass_topk=pcfg.onepass_topk,
                         occupancy_skip=pcfg.occupancy_skip,
                     )
 

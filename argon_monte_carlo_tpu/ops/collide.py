@@ -449,73 +449,6 @@ def cell_partner_search(
     return cands[:, 0], overflow
 
 
-def _merge_sorted_topk(a, b, k):
-    """Smallest ``k`` of two ascending-sorted lists of arrays, elementwise.
-
-    Classic sorted-merge selection: the i-th smallest of the union is
-    ``min(a[i], b[i], max(a[j], b[i-1-j]) for j in 0..i-1)`` (entries
-    past a list's end are +inf, i.e. omitted).  ~k^2/2 min/max ops, no
-    data-dependent control flow -- one fused VPU pass.
-    """
-    out = []
-    for i in range(k):
-        cands = []
-        if i < len(a):
-            cands.append(a[i])
-        if i < len(b):
-            cands.append(b[i])
-        for j in range(max(0, i - len(b)), min(i, len(a))):
-            cands.append(jnp.maximum(a[j], b[i - 1 - j]))
-        m = cands[0]
-        for c in cands[1:]:
-            m = jnp.minimum(m, c)
-        out.append(m)
-    return out
-
-
-def _topk_lane_tree(masked, k, big):
-    """Ascending k smallest along the minor axis in ONE data pass.
-
-    Pairwise tournament (EngineConfig.rebuild_onepass_topk): pad lanes
-    to a power of two with the miss sentinel, then fold halves with the
-    sorted-merge selection network, capping carried list length at k.
-    The sequential alternative (k masked min-passes, each re-masking on
-    the previous minimum) re-traverses the (rows, cap, lanes) hit
-    volume k times; this form reads it once for ~half the VPU ops.
-
-    Equivalent to the sequential form when lane values are unique --
-    they are: a candidate particle occupies exactly one cell slot, out
-    of-range neighbour offsets point at the sentinel EMPTY row (so no
-    duplicate cells in a gather group), and misses share ``big``, whose
-    duplicates are harmless (both forms emit ``big`` for every output
-    past the hit count).  Proven bitwise against the sequential form by
-    tests/test_pairs.py::test_onepass_topk_*.
-    """
-    lanes = masked.shape[-1]
-    p2 = 1 << max(lanes - 1, 0).bit_length()
-    if p2 != lanes:
-        masked = jnp.concatenate(
-            [masked,
-             jnp.full(masked.shape[:-1] + (p2 - lanes,), big,
-                      masked.dtype)],
-            axis=-1,
-        )
-    cur = [masked]
-    width = p2
-    while width > 1:
-        half = width // 2
-        cur = _merge_sorted_topk(
-            [c[..., :half] for c in cur],
-            [c[..., half:] for c in cur],
-            min(k, 2 * len(cur)),
-        )
-        width = half
-    out = [c[..., 0] for c in cur]
-    while len(out) < k:     # fewer lanes than k: misses fill the rest
-        out.append(jnp.full_like(out[0], big))
-    return out
-
-
 def cell_candidate_search(
     pos: jnp.ndarray,
     grid: DeviceGrid,
@@ -529,7 +462,6 @@ def cell_candidate_search(
     half_shell: bool = False,
     active_window: tuple | None = None,
     bf16_hit: bool = False,
-    onepass_topk: bool = False,
     occupancy_skip: bool = True,
     tables_only: bool = False,
 ):
@@ -683,7 +615,7 @@ def cell_candidate_search(
         search_radius=search_radius, top_k=top_k, has_ids=has_ids,
         cell_window=cell_window, one_sided=one_sided,
         half_shell=half_shell, active_window=active_window,
-        bf16_hit=bf16_hit, onepass_topk=onepass_topk,
+        bf16_hit=bf16_hit,
         occupancy_skip=occupancy_skip,
     )
     return cands, overflow, (pslot, mega, unswept)
@@ -693,7 +625,7 @@ def _candidate_sweep(
     mega, table, pslot, px, py, pz, pid, pr, grid, n, *,
     search_radius=None, top_k=1, has_ids=False, cell_window=None,
     one_sided=False, half_shell=False, active_window=None,
-    bf16_hit=False, onepass_topk=False, occupancy_skip=True,
+    bf16_hit=False, occupancy_skip=True,
 ):
     """The candidate sweep half of ``cell_candidate_search`` (moved
     verbatim; the head builds the cell table and packed planes).  Split
@@ -929,34 +861,26 @@ def _candidate_sweep(
             else:
                 hit = in_range & (nid[:, None, :] != oid[:, :, None])
             masked = jnp.where(hit, nix[:, None, :], int_big)
-            if onepass_topk:
-                # One-pass tournament emission (EngineConfig.
-                # rebuild_onepass_topk): the k smallest lane values in
-                # a single traversal of the hit volume, then one
-                # sorted-merge of the group's result into the running
-                # `bests`.  Bitwise-identical to the sequential form
-                # below (lane values unique; _topk_lane_tree docstring).
-                grp = _topk_lane_tree(masked, top_k, int_big)
-                bests = tuple(
-                    _merge_sorted_topk(list(bests), grp, top_k))
-            else:
-                prev = None
-                for k in range(top_k):
-                    if prev is not None:
-                        masked = jnp.where(
-                            masked > prev[:, :, None], masked, int_big
-                        )
-                    cand = jnp.min(masked, axis=-1)
-                    prev = cand
-                    # Insertion into the ascending running top-k (group
-                    # minima arrive ascending, so a single min/max
-                    # bubble pass per candidate keeps `bests` sorted).
-                    new = []
-                    for b in bests:
-                        lo = jnp.minimum(b, cand)
-                        cand = jnp.maximum(b, cand)
-                        new.append(lo)
-                    bests = tuple(new)
+            # Sequential top-k masked min-passes.  (A one-pass
+            # tournament alternative was measured -8.6% on-chip in r4
+            # and deleted; COMPONENTS.md "One-pass top-k post-mortem".)
+            prev = None
+            for k in range(top_k):
+                if prev is not None:
+                    masked = jnp.where(
+                        masked > prev[:, :, None], masked, int_big
+                    )
+                cand = jnp.min(masked, axis=-1)
+                prev = cand
+                # Insertion into the ascending running top-k (group
+                # minima arrive ascending, so a single min/max
+                # bubble pass per candidate keeps `bests` sorted).
+                new = []
+                for b in bests:
+                    lo = jnp.minimum(b, cand)
+                    cand = jnp.maximum(b, cand)
+                    new.append(lo)
+                bests = tuple(new)
         stacked = jnp.stack(bests, axis=-1)            # (c_len, cap, K)
         return jnp.where(stacked < int_big, stacked, -1)
 
@@ -1026,7 +950,7 @@ def cell_search_sweep(
     mega, pslot, grid, n, *,
     has_ids=False, has_reach=True, top_k=1, cell_window=None,
     one_sided=False, half_shell=False, active_window=None,
-    bf16_hit=False, onepass_topk=False, occupancy_skip=True,
+    bf16_hit=False, occupancy_skip=True,
 ):
     """Run the candidate sweep as a STANDALONE program from a packed
     plane set produced by ``cell_candidate_search(tables_only=True)``.
@@ -1053,7 +977,7 @@ def cell_search_sweep(
         search_radius=None, top_k=top_k, has_ids=has_ids,
         cell_window=cell_window, one_sided=one_sided,
         half_shell=half_shell, active_window=active_window,
-        bf16_hit=bf16_hit, onepass_topk=onepass_topk,
+        bf16_hit=bf16_hit,
         occupancy_skip=occupancy_skip,
     )
 

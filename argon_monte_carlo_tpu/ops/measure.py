@@ -129,7 +129,7 @@ def flush_pending_compacted(measure: Measurements, event_idx: jnp.ndarray,
 
 
 def flush_pending(measure: Measurements, num_bins: int,
-                  hist_hi: float, use_pallas: bool = False,
+                  hist_hi: float,
                   compact: bool = True,
                   capacity: int | None = None) -> Measurements:
     """Flush all staged events: running sums/counts + one histogram update.
@@ -147,13 +147,7 @@ def flush_pending(measure: Measurements, num_bins: int,
     with ``hist_flush_interval``: events accumulate across the flush
     window, one slot per particle, so a fixed 16K width could drop
     events a wider window legitimately staged -- ADVICE r2).
-
-    ``use_pallas`` is accepted for backward compatibility and ignored
-    (the former VMEM compare-reduce histogram kernel was deleted: it
-    regressed the step under lax.cond and event compaction removes the
-    dense-binning cost it addressed -- VERDICT r1 item 8).
     """
-    del use_pallas
     emitted = measure.pending_mask[:, None]
     measure.path_sum = measure.path_sum + jnp.sum(
         jnp.where(emitted, measure.pending_vals, 0.0), axis=0

@@ -87,9 +87,6 @@ class PairConfig:
     # Rebuild hit test in bf16 with a widened-superset threshold
     # (ops/collide.BF16_HIT_EPS; EngineConfig.rebuild_bf16_hittest).
     bf16_hit: bool = False
-    # One-pass tournament emission at rebuild (ops/collide.
-    # _topk_lane_tree; EngineConfig.rebuild_onepass_topk).
-    onepass_topk: bool = False
     # Skip empty active rows at rebuild (EngineConfig.
     # rebuild_occupancy_skip; False pins the static row layout).
     occupancy_skip: bool = True
@@ -187,7 +184,7 @@ def rebuild(state: ParticleState, grid: collide.DeviceGrid,
         state.pos, grid, reach=reach, top_k=pcfg.top_k, ids=ids,
         valid=valid_lanes, cell_window=cell_window, one_sided=True,
         half_shell=True, active_window=active_window,
-        bf16_hit=pcfg.bf16_hit, onepass_topk=pcfg.onepass_topk,
+        bf16_hit=pcfg.bf16_hit,
         occupancy_skip=pcfg.occupancy_skip,
     )
     # Cell-table overflow -> HOT, not lost: a particle dropped from the

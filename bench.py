@@ -33,6 +33,13 @@ TIMED_STEPS = int(os.environ.get("BENCH_STEPS", 5 * STEPS_PER_EPOCH))
 NORTH_STAR = 1e9  # particle-steps/sec/chip (BASELINE.json north_star)
 
 
+def _env_bool(name: str, default: bool) -> bool:
+    v = os.environ.get(name)
+    if v is None or v == "":
+        return default
+    return v != "0"
+
+
 def _emit_stale_fallback(err: Exception) -> int:
     """Last resort when the tunneled TPU grant is down at bench time
     (e.g. the Aug 17-18 2026 outage: every client init stalled ~25 min
@@ -84,8 +91,11 @@ def _attach_committed_10m(result: dict, particles: int) -> None:
     carries both numbers."""
     if particles == 10_000_000:
         return
-    p10 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "runs", "bench", "bench_10m_r4.json")
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name in ("bench_10m_r5.json", "bench_10m_r4.json"):
+        p10 = os.path.join(here, "runs", "bench", name)
+        if os.path.exists(p10):
+            break
     try:
         with open(p10) as f:
             c10 = json.load(f)
@@ -286,13 +296,13 @@ def main() -> int:
         cell_capacity=(int(os.environ["BENCH_CELL_CAP"])
                        if os.environ.get("BENCH_CELL_CAP") else None),
         cell_occupancy=float(os.environ.get("BENCH_CELL_OCC", 11.0)),
-        # r4 rebuild levers (default-off; see EngineConfig docstrings):
-        # one packed layer-table row gather in assign_cells, and the
-        # widened-superset bf16 rebuild hit test.
-        packed_layer_gather=os.environ.get("BENCH_PACKED_LAYERS") == "1",
-        rebuild_bf16_hittest=os.environ.get("BENCH_BF16_HIT") == "1",
-        rebuild_onepass_topk=os.environ.get("BENCH_ONEPASS_TOPK") == "1",
-        rebuild_occupancy_skip=os.environ.get("BENCH_OCC_SKIP", "1") != "0",
+        # Rebuild levers (see EngineConfig docstrings for the r4
+        # measurements that set each default; unset env inherits the
+        # shipping default so the driver's bare run measures exactly
+        # the configuration a user gets).
+        packed_layer_gather=_env_bool("BENCH_PACKED_LAYERS", True),
+        rebuild_bf16_hittest=_env_bool("BENCH_BF16_HIT", False),
+        rebuild_occupancy_skip=_env_bool("BENCH_OCC_SKIP", True),
         eager_rebuild=os.environ.get("BENCH_EAGER_REBUILD") == "1",
         split_rebuild_programs=(
             os.environ.get("BENCH_SPLIT_REBUILD") == "1"),
@@ -428,7 +438,7 @@ def main() -> int:
     knobs = {k: os.environ[k] for k in
              ("BENCH_CELL_CAP", "BENCH_CELL_OCC",
               "BENCH_PACKED_LAYERS", "BENCH_BF16_HIT",
-              "BENCH_ONEPASS_TOPK", "BENCH_OCC_SKIP",
+              "BENCH_OCC_SKIP",
               "BENCH_EAGER_REBUILD", "ARGON_EAGER_REBUILD",
               "BENCH_SPLIT_REBUILD", "ARGON_SPLIT_REBUILD")
              if os.environ.get(k)}

@@ -31,6 +31,13 @@ N = int(os.environ.get("BENCH_PARTICLES", 10_000_000))
 K = int(os.environ.get("BENCH_REBUILD_INTERVAL", 8))
 
 
+def _env_bool(name, default):
+    v = os.environ.get(name)
+    if v is None or v == "":
+        return default
+    return v != "0"
+
+
 def mark(msg):
     print(f"precompile: {msg} at +{time.time() - T0:.1f}s",
           file=sys.stderr, flush=True)
@@ -47,10 +54,9 @@ eng = amc.EngineConfig(
     cell_capacity=(int(os.environ["BENCH_CELL_CAP"])
                    if os.environ.get("BENCH_CELL_CAP") else None),
     cell_occupancy=float(os.environ.get("BENCH_CELL_OCC", 11.0)),
-    packed_layer_gather=os.environ.get("BENCH_PACKED_LAYERS") == "1",
-    rebuild_bf16_hittest=os.environ.get("BENCH_BF16_HIT") == "1",
-    rebuild_onepass_topk=os.environ.get("BENCH_ONEPASS_TOPK") == "1",
-    rebuild_occupancy_skip=os.environ.get("BENCH_OCC_SKIP", "1") != "0",
+    packed_layer_gather=_env_bool("BENCH_PACKED_LAYERS", True),
+    rebuild_bf16_hittest=_env_bool("BENCH_BF16_HIT", False),
+    rebuild_occupancy_skip=_env_bool("BENCH_OCC_SKIP", True),
     eager_rebuild=os.environ.get("BENCH_EAGER_REBUILD") == "1",
     split_rebuild_programs=os.environ.get("BENCH_SPLIT_REBUILD") == "1",
 )

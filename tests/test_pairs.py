@@ -600,7 +600,8 @@ def test_packed_layer_gather_bitwise():
     n, steps, k = 3000, 10, 5
     eng_a = amc.EngineConfig(dtype="float32", broadphase="cells",
                              steps_per_epoch=k, narrowphase="pairs",
-                             rebuild_interval=k)
+                             rebuild_interval=k,
+                             packed_layer_gather=False)
     cfg_a = amc.temperature_pore_config(num_particles_override=n,
                                         engine=eng_a)
     wl_a = amc.make_workload(cfg_a)
@@ -646,66 +647,11 @@ def test_packed_layer_gather_refuses_inexact_float32():
                                      packed_layers=True)
 
 
-def test_onepass_topk_candidate_rows_bitwise():
-    """Unit-level: the one-pass tournament emission returns bitwise the
-    same candidate rows as the sequential min-pass form, including
-    saturated rows (inflated reach forces multi-candidate rows so every
-    top-k slot and the sorted-merge carry across gather groups are
-    exercised)."""
-    key = jax.random.PRNGKey(13)
-    n = 4000
-    eng = amc.EngineConfig(dtype="float32", broadphase="cells",
-                           narrowphase="pairs", rebuild_interval=8)
-    cfg = amc.temperature_pore_config(num_particles_override=n, engine=eng)
-    wl = amc.make_workload(cfg)
-    from argon_monte_carlo_tpu.engine import build_grids
-
-    _, dgrid = build_grids(wl)
-    state = wl.init_fn(key)
-    cr, dt = cfg.physics.collision_range, cfg.dt
-    for scale, top_k in ((1.0, 4), (40.0, 3)):
-        reach, _ = pairs_ops.reach_radii(state.vel, cr * scale, dt, 8,
-                                         0.5 * dgrid.cell_size)
-        kw = dict(reach=reach, top_k=top_k, one_sided=True,
-                  half_shell=True)
-        seq, _, _ = collide.cell_candidate_search(state.pos, dgrid, **kw)
-        one, _, _ = collide.cell_candidate_search(state.pos, dgrid,
-                                                  onepass_topk=True, **kw)
-        np.testing.assert_array_equal(np.asarray(seq), np.asarray(one))
-        if scale > 1.0:  # inflated reach must saturate somewhere
-            assert (np.asarray(seq)[:, -1] >= 0).sum() > 0
-
-
-def test_onepass_topk_matches_exact_engine_bitwise():
-    """rebuild_onepass_topk is a pure scheduling knob: identical
-    candidate selection (unit test above) must yield bitwise-identical
-    trajectories end to end."""
-    k, steps, n = 5, 15, 3000
-    eng_a = amc.EngineConfig(dtype="float64", broadphase="cells",
-                             steps_per_epoch=k, narrowphase="pairs",
-                             rebuild_interval=k)
-    cfg_a = amc.temperature_pore_config(num_particles_override=n,
-                                        engine=eng_a)
-    st_a, m_a, _ = amc.Simulation(amc.make_workload(cfg_a)).run(
-        num_steps=steps)
-
-    eng_b = dataclasses.replace(eng_a, rebuild_onepass_topk=True)
-    cfg_b = amc.temperature_pore_config(num_particles_override=n,
-                                        engine=eng_b)
-    st_b, m_b, _ = amc.Simulation(amc.make_workload(cfg_b)).run(
-        num_steps=steps)
-
-    assert int(m_a.collision_count) == int(m_b.collision_count) > 0
-    np.testing.assert_array_equal(np.asarray(st_a.pos), np.asarray(st_b.pos))
-    np.testing.assert_array_equal(np.asarray(st_a.vel), np.asarray(st_b.vel))
-    np.testing.assert_array_equal(np.asarray(m_a.hist), np.asarray(m_b.hist))
-
-
 def test_all_three_rebuild_levers_compose_bitwise():
-    """queue k's all_levers bench point runs packed_layer_gather +
-    rebuild_bf16_hittest + rebuild_onepass_topk together; the
-    composition must match the exact default engine bitwise just like
-    each lever alone."""
+    """Both surviving rebuild levers flipped AWAY from their shipping
+    defaults (packed_layer_gather off, rebuild_bf16_hittest on) must
+    match the default engine bitwise just like each lever alone --
+    the default flip is a pure layout/scheduling change."""
     k, steps, n = 5, 15, 3000
     eng_a = amc.EngineConfig(dtype="float64", broadphase="cells",
                              steps_per_epoch=k, narrowphase="pairs",
@@ -715,9 +661,8 @@ def test_all_three_rebuild_levers_compose_bitwise():
     st_a, m_a, _ = amc.Simulation(amc.make_workload(cfg_a)).run(
         num_steps=steps)
 
-    eng_b = dataclasses.replace(eng_a, packed_layer_gather=True,
-                                rebuild_bf16_hittest=True,
-                                rebuild_onepass_topk=True)
+    eng_b = dataclasses.replace(eng_a, packed_layer_gather=False,
+                                rebuild_bf16_hittest=True)
     cfg_b = amc.temperature_pore_config(num_particles_override=n,
                                         engine=eng_b)
     st_b, m_b, _ = amc.Simulation(amc.make_workload(cfg_b)).run(
@@ -812,7 +757,7 @@ def test_split_rebuild_matches_fused_bitwise():
 
 def test_split_rebuild_float32_with_levers_bitwise():
     """Split rebuild at engine dtype float32 (the bench dtype: exercises
-    the f32 plane reconstruction casts) composed with the three r4
+    the f32 plane reconstruction casts) composed with the surviving
     levers must still match the fused default engine bitwise."""
     k, steps, n = 5, 10, 3000
     eng_a = amc.EngineConfig(dtype="float32", broadphase="cells",
@@ -824,9 +769,8 @@ def test_split_rebuild_float32_with_levers_bitwise():
         num_steps=steps)
 
     eng_b = dataclasses.replace(eng_a, split_rebuild_programs=True,
-                                packed_layer_gather=True,
-                                rebuild_bf16_hittest=True,
-                                rebuild_onepass_topk=True)
+                                packed_layer_gather=False,
+                                rebuild_bf16_hittest=True)
     cfg_b = amc.temperature_pore_config(num_particles_override=n,
                                         engine=eng_b)
     st_b, m_b, _ = amc.Simulation(amc.make_workload(cfg_b)).run(

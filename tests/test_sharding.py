@@ -266,8 +266,7 @@ def test_sharded_pairs_levers_match_sharded_sweep_bitwise():
                        steps_per_epoch=4, narrowphase="pairs",
                        rebuild_interval=4,
                        packed_layer_gather=True,
-                       rebuild_bf16_hittest=True,
-                       rebuild_onepass_topk=True)
+                       rebuild_bf16_hittest=True)
     cfg_p = amc.PoreConfig(num_particles_override=n, engine=eng)
     sim_p = ShardedSimulation(amc.make_workload(cfg_p),
                               mesh=make_mesh(4))

@@ -125,6 +125,20 @@ class EngineConfig:
     # tournament emission measured 2.32e7 vs the 2.54e7 baseline at 1M
     # (-8.6%) despite halving the VPU op count on paper -- COMPONENTS.md
     # "One-pass top-k post-mortem" records why.)
+    # Occupancy-TIERED emitter capacity in the rebuild sweep: active
+    # rows are sorted dense-first and chunks whose rows all hold
+    # <= the lo tier (the ~95th Poisson occupancy percentile rounded
+    # to the 8-sublane tile; 16 at reference occupancy 11) run with
+    # the emitter planes SLICED to that slot count -- one fewer f32
+    # sublane tile on the sweep's (rows, cap, 14*cap) hot volume for
+    # ~94% of rows, a ~31% VPU-volume cut of the step's dominant
+    # block.  Candidates per particle are bitwise-identical (the
+    # candidate axis keeps full capacity; dropped emitter slots are
+    # empty by construction; readback rides the same cell->row map as
+    # the occupancy skip).  Default False pending the r5 on-chip probe
+    # (scripts/probe_tiered_cap.py, gate ratio <= 0.80) and the
+    # interleaved A/B merge gate (>= +8% at 1M, CI excluding zero).
+    rebuild_tiered_cap: bool = False
     # Skip empty active rows in the rebuild sweep (stable nonempty-
     # first permutation + lax.cond chunk skip).  Default True (the
     # shipping r4 program); False pins the static active-list layout

@@ -56,11 +56,14 @@ def _emit_stale_fallback(err: Exception) -> int:
     # Default: the most recent committed on-chip measurement of the
     # SHIPPING program (ADVICE r3: the halfshell artifact predates the
     # active-cells sweep and would overstate an outage fallback ~26%).
-    path = os.environ.get(
-        "BENCH_STALE_SOURCE",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "runs", "bench", "bench_1m_r4b.json"),
-    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    default = os.path.join(here, "runs", "bench", "bench_1m_r4b.json")
+    for name in ("bench_1m_r5.json",):
+        cand = os.path.join(here, "runs", "bench", name)
+        if os.path.exists(cand):
+            default = cand
+            break
+    path = os.environ.get("BENCH_STALE_SOURCE", default)
     try:
         with open(path) as f:
             committed = json.load(f)
@@ -303,6 +306,7 @@ def main() -> int:
         packed_layer_gather=_env_bool("BENCH_PACKED_LAYERS", True),
         rebuild_bf16_hittest=_env_bool("BENCH_BF16_HIT", False),
         rebuild_occupancy_skip=_env_bool("BENCH_OCC_SKIP", True),
+        rebuild_tiered_cap=_env_bool("BENCH_TIERED_CAP", False),
         eager_rebuild=os.environ.get("BENCH_EAGER_REBUILD") == "1",
         split_rebuild_programs=(
             os.environ.get("BENCH_SPLIT_REBUILD") == "1"),
@@ -438,7 +442,7 @@ def main() -> int:
     knobs = {k: os.environ[k] for k in
              ("BENCH_CELL_CAP", "BENCH_CELL_OCC",
               "BENCH_PACKED_LAYERS", "BENCH_BF16_HIT",
-              "BENCH_OCC_SKIP",
+              "BENCH_OCC_SKIP", "BENCH_TIERED_CAP",
               "BENCH_EAGER_REBUILD", "ARGON_EAGER_REBUILD",
               "BENCH_SPLIT_REBUILD", "ARGON_SPLIT_REBUILD")
              if os.environ.get(k)}

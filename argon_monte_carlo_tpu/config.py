@@ -140,13 +140,15 @@ class EngineConfig:
     # interleaved A/B merge gate (>= +8% at 1M, CI excluding zero).
     rebuild_tiered_cap: bool = False
     # Skip empty active rows in the rebuild sweep (stable nonempty-
-    # first permutation + lax.cond chunk skip).  Default True (the
-    # shipping r4 program); False pins the static active-list layout
-    # so a bench point can A/B the skip on the same tree -- the
-    # queue-e comparison (2.45e7 skip vs 2.54e7 pre-skip) crossed
-    # program versions AND tunnel drift, so it could not attribute
-    # the ~4% delta.
-    rebuild_occupancy_skip: bool = True
+    # first permutation + lax.cond chunk skip).  Default False as of
+    # r5: the only end-to-end measurement has the skip NEGATIVE
+    # (2.45e7 with skip vs 2.54e7 without, bench_1m_r4b vs bench_1m_r4
+    # -- cross-run, so confounded by tunnel drift, but the best point
+    # estimate), and the r5 10M ladder pins BENCH_OCC_SKIP=0, so the
+    # default now matches both.  The r5 interleaved A/B
+    # (runs/bench/ab_occskip_r5.json, B = skip ON) re-decides with a
+    # CI; flip back only if it lands B_FASTER.
+    rebuild_occupancy_skip: bool = False
     # Run the pair-list rebuild OUTSIDE jit (each op and the chunked
     # sweep's internal lax.scan compile as their own small programs).
     # Escape hatch for the 10M remote-compile wall: the service's

@@ -305,7 +305,7 @@ def main() -> int:
         # the configuration a user gets).
         packed_layer_gather=_env_bool("BENCH_PACKED_LAYERS", True),
         rebuild_bf16_hittest=_env_bool("BENCH_BF16_HIT", False),
-        rebuild_occupancy_skip=_env_bool("BENCH_OCC_SKIP", True),
+        rebuild_occupancy_skip=_env_bool("BENCH_OCC_SKIP", False),
         rebuild_tiered_cap=_env_bool("BENCH_TIERED_CAP", False),
         eager_rebuild=os.environ.get("BENCH_EAGER_REBUILD") == "1",
         split_rebuild_programs=(

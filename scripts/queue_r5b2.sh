@@ -79,10 +79,14 @@ if fits 3600; then
 fi
 
 # --- rung 2: occ_skip A/B --------------------------------------------
+# The r5 default flipped occ_skip OFF (config.py: the best point
+# estimate + the 10M ladder's pinned knob), so B now measures the
+# skip ON against the new shipping default; flip back only on a
+# B_FASTER verdict.
 if fits 5400; then
   probe_backend || { log "backend dead at rung 2; aborting"; exit 1; }
-  log "rung 2: A/B rebuild_occupancy_skip"
-  AB_OVERRIDES_B='{"rebuild_occupancy_skip": false}' timeout 5400 \
+  log "rung 2: A/B rebuild_occupancy_skip (B = skip ON)"
+  AB_OVERRIDES_B='{"rebuild_occupancy_skip": true}' timeout 5400 \
     python scripts/ab_bench.py runs/bench/ab_occskip_r5.json \
     > runs/bench/ab_occskip_r5.log 2>&1
   log "rung 2 rc=$? $(tail -1 runs/bench/ab_occskip_r5.log)"
@@ -98,8 +102,12 @@ if fits 1800; then
 fi
 
 # --- rung 4: tiered-cap A/B (gated on rung 3) ------------------------
+# The gate file must be a CHIP result: a CPU smoke of the probe once
+# landed under this name (runs/probe/tiered_cap_cpusmoke.json keeps
+# it) and must never satisfy the chip gate.
 if [ -s runs/probe/tiered_cap_r5.json ] \
-    && grep -q '"gate_passed": true' runs/probe/tiered_cap_r5.json; then
+    && grep -q '"gate_passed": true' runs/probe/tiered_cap_r5.json \
+    && ! grep -q '"device": "cpu"' runs/probe/tiered_cap_r5.json; then
   if fits 5400; then
     probe_backend || { log "backend dead at rung 4; aborting"; exit 1; }
     log "rung 4: A/B rebuild_tiered_cap (probe gate passed)"

@@ -172,6 +172,21 @@ class EngineConfig:
     # HBM traffic.  Trajectories bitwise-identical (tested); also
     # reachable via ARGON_SPLIT_REBUILD=1 without a config change.
     split_rebuild_programs: bool = False
+    # Cap the per-dispatch scan-block length in pairs mode (the host
+    # loop's m).  The finest compile-wall mitigation on the BLOCK side
+    # of the split design: with max_block_steps=1 the only jitted step
+    # program is the 1-step scan -- the smallest program the engine
+    # can emit -- while rebuild_interval still amortizes the rebuild
+    # over K steps (the r5a eager-K1 fallback conflated the two,
+    # paying a rebuild EVERY step just to shrink the block).  Any
+    # block partition with <= K steps per rebuild window yields the
+    # exact same trajectory (engine._run_epoch contract; bitwise-
+    # tested), so this knob trades one ~300 ms tunnel dispatch per
+    # block -- ~30% overhead at 10M where a step is ~1 s, ruinous at
+    # 1M where a step is ~40 ms -- for never having to compile a
+    # K-step scan through the remote service.  None = uncapped (the
+    # shipping default; fused whole-window programs at <= 2M).
+    max_block_steps: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)

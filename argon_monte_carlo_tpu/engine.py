@@ -715,10 +715,16 @@ class Simulation:
         # overhead; above the configured N its (rebuild + step in one
         # program) compile time becomes the wall (the 10M path stays
         # split).  See EngineConfig.fused_epoch_max_particles.
+        max_block = getattr(self.cfg.engine, "max_block_steps", None)
+        if max_block is None:
+            env_mb = os.environ.get("ARGON_MAX_BLOCK_STEPS")
+            if env_mb:
+                max_block = int(env_mb)
         fused_ok = (self.cfg.num_molecules
                     <= self.cfg.engine.fused_epoch_max_particles
                     and not self._rebuild_eager
-                    and not self._rebuild_split)
+                    and not self._rebuild_split
+                    and max_block is None)
         outs = []
         i, total = 0, int(step_indices.shape[0])
         while i < total:
@@ -747,6 +753,8 @@ class Simulation:
                 self._window_left = k
                 rebuilt = True
             m = int(min(self._window_left, total - i))
+            if max_block is not None:
+                m = min(m, int(max_block))
             import numpy as _np
 
             flags = _np.zeros((m,), _np.bool_)

@@ -310,6 +310,8 @@ def main() -> int:
         eager_rebuild=os.environ.get("BENCH_EAGER_REBUILD") == "1",
         split_rebuild_programs=(
             os.environ.get("BENCH_SPLIT_REBUILD") == "1"),
+        max_block_steps=(int(os.environ["BENCH_MAX_BLOCK"])
+                         if os.environ.get("BENCH_MAX_BLOCK") else None),
     )
     cfg = amc.temperature_pore_config(engine=eng).scaled_to(BENCH_PARTICLES)
     n = cfg.num_molecules
@@ -444,7 +446,9 @@ def main() -> int:
               "BENCH_PACKED_LAYERS", "BENCH_BF16_HIT",
               "BENCH_OCC_SKIP", "BENCH_TIERED_CAP",
               "BENCH_EAGER_REBUILD", "ARGON_EAGER_REBUILD",
-              "BENCH_SPLIT_REBUILD", "ARGON_SPLIT_REBUILD")
+              "BENCH_SPLIT_REBUILD", "ARGON_SPLIT_REBUILD",
+              "BENCH_MAX_BLOCK", "ARGON_MAX_BLOCK_STEPS",
+              "BENCH_REBUILD_INTERVAL", "BENCH_SPE")
              if os.environ.get(k)}
     if knobs:
         result["bench_knobs"] = knobs

@@ -60,6 +60,8 @@ eng = amc.EngineConfig(
     rebuild_tiered_cap=_env_bool("BENCH_TIERED_CAP", False),
     eager_rebuild=os.environ.get("BENCH_EAGER_REBUILD") == "1",
     split_rebuild_programs=os.environ.get("BENCH_SPLIT_REBUILD") == "1",
+    max_block_steps=(int(os.environ["BENCH_MAX_BLOCK"])
+                     if os.environ.get("BENCH_MAX_BLOCK") else None),
 )
 cfg = amc.temperature_pore_config(engine=eng).scaled_to(N)
 mark(f"config N={cfg.num_molecules}")

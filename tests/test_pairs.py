@@ -874,3 +874,45 @@ def test_tiered_cap_split_rebuild_f32_bitwise(monkeypatch):
     np.testing.assert_array_equal(np.asarray(st_a.pos), np.asarray(st_b.pos))
     np.testing.assert_array_equal(np.asarray(st_a.vel), np.asarray(st_b.vel))
     np.testing.assert_array_equal(np.asarray(m_a.hist), np.asarray(m_b.hist))
+
+
+def test_max_block_steps_matches_default_bitwise():
+    """max_block_steps caps the host loop's per-dispatch scan-block
+    length without changing the rebuild cadence: any block partition
+    with <= K steps per rebuild window yields the exact same
+    trajectory (engine._run_epoch contract).  Arm B runs the 10M
+    ladder's upgrade configuration -- eager rebuild + 1-step blocks --
+    so the jitted step program is the smallest the engine can emit
+    while the rebuild still amortizes over K steps.  Also pins that
+    the cap disables the fused whole-window program."""
+    k, steps, n = 5, 17, 3000  # 17: non-window-aligned tail
+    eng_a = amc.EngineConfig(dtype="float64", broadphase="cells",
+                             steps_per_epoch=k, narrowphase="pairs",
+                             rebuild_interval=k)
+    cfg_a = amc.temperature_pore_config(num_particles_override=n,
+                                        engine=eng_a)
+    st_a, m_a, _ = amc.Simulation(amc.make_workload(cfg_a)).run(
+        num_steps=steps)
+
+    eng_b = dataclasses.replace(eng_a, eager_rebuild=True,
+                                max_block_steps=1)
+    cfg_b = amc.temperature_pore_config(num_particles_override=n,
+                                        engine=eng_b)
+    sim_b = amc.Simulation(amc.make_workload(cfg_b))
+    st_b, m_b, _ = sim_b.run(num_steps=steps)
+
+    assert int(m_a.collision_count) == int(m_b.collision_count) > 0
+    np.testing.assert_array_equal(np.asarray(st_a.pos), np.asarray(st_b.pos))
+    np.testing.assert_array_equal(np.asarray(st_a.vel), np.asarray(st_b.vel))
+    np.testing.assert_array_equal(np.asarray(m_a.hist), np.asarray(m_b.hist))
+
+    # A mid-window cap (3 < K=5) partitions windows as 3+2 and must
+    # also be exact; jitted (non-eager) path this time.
+    eng_c = dataclasses.replace(eng_a, max_block_steps=3)
+    cfg_c = amc.temperature_pore_config(num_particles_override=n,
+                                        engine=eng_c)
+    st_c, m_c, _ = amc.Simulation(amc.make_workload(cfg_c)).run(
+        num_steps=steps)
+    assert int(m_a.collision_count) == int(m_c.collision_count)
+    np.testing.assert_array_equal(np.asarray(st_a.pos), np.asarray(st_c.pos))
+    np.testing.assert_array_equal(np.asarray(st_a.vel), np.asarray(st_c.vel))

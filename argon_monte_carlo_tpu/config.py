@@ -125,20 +125,14 @@ class EngineConfig:
     # tournament emission measured 2.32e7 vs the 2.54e7 baseline at 1M
     # (-8.6%) despite halving the VPU op count on paper -- COMPONENTS.md
     # "One-pass top-k post-mortem" records why.)
-    # Occupancy-TIERED emitter capacity in the rebuild sweep: active
-    # rows are sorted dense-first and chunks whose rows all hold
-    # <= the lo tier (the ~95th Poisson occupancy percentile rounded
-    # to the 8-sublane tile; 16 at reference occupancy 11) run with
-    # the emitter planes SLICED to that slot count -- one fewer f32
-    # sublane tile on the sweep's (rows, cap, 14*cap) hot volume for
-    # ~94% of rows, a ~31% VPU-volume cut of the step's dominant
-    # block.  Candidates per particle are bitwise-identical (the
-    # candidate axis keeps full capacity; dropped emitter slots are
-    # empty by construction; readback rides the same cell->row map as
-    # the occupancy skip).  Default False pending the r5 on-chip probe
-    # (scripts/probe_tiered_cap.py, gate ratio <= 0.80) and the
-    # interleaved A/B merge gate (>= +8% at 1M, CI excluding zero).
-    rebuild_tiered_cap: bool = False
+    # (rebuild_tiered_cap -- occupancy-tiered emitter capacity, 24->16
+    # slots on ~94% of rows -- was deleted in round 5: the on-chip
+    # probe measured the per-chunk cond form at 0.972x and even the
+    # non-implementable static split at 0.962x vs the pre-registered
+    # <= 0.80 gate; the sweep chunk is gather/HBM-bound on this chip,
+    # not emitter-VPU-bound.  COMPONENTS.md "Occupancy-tiered emitter
+    # capacity" records the post-mortem; runs/probe/tiered_cap_r5.json
+    # is the measurement.)
     # Skip empty active rows in the rebuild sweep (stable nonempty-
     # first permutation + lax.cond chunk skip).  Default False as of
     # r5: the only end-to-end measurement has the skip NEGATIVE

@@ -286,17 +286,6 @@ def pairs_config_for(workload: Workload, num_particles: int | None = None):
         import dataclasses as _dc
 
         pcfg = _dc.replace(pcfg, occupancy_skip=False)
-    if getattr(cfg.engine, "rebuild_tiered_cap", False):
-        import dataclasses as _dc
-
-        # Lo tier = the ~95th occupancy percentile rounded to the f32
-        # sublane tile (8): Poisson(11) -> 16, so ~94% of rows run the
-        # sliced-emitter body.  Disabled when the grid capacity leaves
-        # no full tile to drop.
-        lo = int(8 * round((occ + 1.645 * math.sqrt(occ)) / 8.0))
-        lo = min(cap_cells - 8, lo)
-        if lo >= 8:
-            pcfg = _dc.replace(pcfg, tiered_cap_lo=lo)
     # The pair list can only cover collisions when the top-k emission
     # captures essentially every in-reach candidate.  Workloads whose
     # per-step drift is large relative to the collision range (the CUBE
@@ -586,7 +575,6 @@ class Simulation:
                         one_sided=True, half_shell=True,
                         bf16_hit=pcfg.bf16_hit,
                         occupancy_skip=pcfg.occupancy_skip,
-                        tiered_cap_lo=pcfg.tiered_cap_lo,
                         tables_only=True,
                     )
                     return mega, pslot, overflow, clipped
@@ -598,7 +586,6 @@ class Simulation:
                         one_sided=True, half_shell=True,
                         bf16_hit=pcfg.bf16_hit,
                         occupancy_skip=pcfg.occupancy_skip,
-                        tiered_cap_lo=pcfg.tiered_cap_lo,
                     )
 
                 def rb_finish(cands, overflow, pslot, mega, unswept,

@@ -464,7 +464,6 @@ def cell_candidate_search(
     active_window: tuple | None = None,
     bf16_hit: bool = False,
     occupancy_skip: bool = True,
-    tiered_cap_lo: int = 0,
     tables_only: bool = False,
 ):
     """Up to ``top_k`` lowest-index in-range candidates per particle.
@@ -618,7 +617,7 @@ def cell_candidate_search(
         cell_window=cell_window, one_sided=one_sided,
         half_shell=half_shell, active_window=active_window,
         bf16_hit=bf16_hit,
-        occupancy_skip=occupancy_skip, tiered_cap_lo=tiered_cap_lo,
+        occupancy_skip=occupancy_skip,
     )
     return cands, overflow, (pslot, mega, unswept)
 
@@ -627,7 +626,7 @@ def _candidate_sweep(
     mega, table, pslot, px, py, pz, pid, pr, grid, n, *,
     search_radius=None, top_k=1, has_ids=False, cell_window=None,
     one_sided=False, half_shell=False, active_window=None,
-    bf16_hit=False, occupancy_skip=True, tiered_cap_lo=0,
+    bf16_hit=False, occupancy_skip=True,
 ):
     """The candidate sweep half of ``cell_candidate_search`` (moved
     verbatim; the head builds the cell table and packed planes).  Split
@@ -690,9 +689,8 @@ def _candidate_sweep(
     chunk = max(4096, (64 * 1024 * 1024) // (cap * group * cap))
     if os.environ.get("ARGON_SWEEP_CHUNK"):
         # Test hook: shrink the chunk so the multi-chunk lax.cond
-        # dispatch paths (occupancy skip, tiered emitter capacity) are
-        # exercisable at CPU-test particle counts.  Never set in
-        # production runs.
+        # dispatch path (occupancy skip) is exercisable at CPU-test
+        # particle counts.  Never set in production runs.
         chunk = int(os.environ["ARGON_SWEEP_CHUNK"])
     n_chunks = -(-width // chunk)
     chunk = -(-width // n_chunks)  # balance the chunks
@@ -719,21 +717,12 @@ def _candidate_sweep(
     # negative at 1M; EngineConfig.rebuild_occupancy_skip lets a bench
     # point measure both forms on the SAME tree).
     dyn_skip = use_active and cell_window is None and occupancy_skip
-    # Occupancy-TIERED emitter capacity (EngineConfig.rebuild_tiered_cap):
-    # the emitter axis is ``cap`` own-cell slots but occupancy is
-    # Poisson(~11), so ~46% of those sublanes are masked padding at full
-    # vector price.  Sort active rows dense-first (a refinement of the
-    # nonempty-first permutation) and run chunks whose rows all hold
-    # <= tiered_cap_lo particles with the emitter planes SLICED to
-    # tiered_cap_lo slots (one fewer f32 sublane tile at 24 -> 16).
-    # Bitwise-safe: each emitter particle sees the identical candidate
-    # lanes (the candidate axis keeps full capacity), empty emitter
-    # slots emit nothing in either shape, and readback goes through the
-    # per-rebuild cell->row map exactly like the occupancy skip.
-    # Rebuild-only (reach mode); the per-step sweep narrow phase keeps
-    # one program.
-    dyn_tier = (use_active and cell_window is None and pr is not None
-                and 0 < tiered_cap_lo < cap)
+    # (An occupancy-TIERED emitter capacity -- dense-first row sort +
+    # per-chunk cond slicing the emitter planes 24 -> 16 slots -- lived
+    # here in r5 and was deleted: the on-chip probe measured 0.972x vs
+    # the pre-registered <= 0.80 gate; this chunk is gather/HBM-bound,
+    # not emitter-VPU-bound.  COMPONENTS.md "Occupancy-tiered emitter
+    # capacity" has the post-mortem.)
     if use_active:
         # Emission rows are GATHERED through the active list; one far
         # pad row (index num_rows) absorbs list padding, and the
@@ -743,22 +732,11 @@ def _candidate_sweep(
         # point anywhere in it (dynamic_slice clamps silently -- same
         # hazard as the windowed plane slices below).
         pad_rows = 1
-        if dyn_skip or dyn_tier:
+        if dyn_skip:
             act = grid.active_cells
             counts = jnp.sum(table[act] < n, axis=1, dtype=jnp.int32)
             row_has = counts > 0
-            if dyn_tier:
-                # Three-key stable sort: dense rows (occupancy above
-                # the lo tier) first, then lo-occupancy nonempty rows,
-                # then empty rows -- chunks become tier-homogeneous
-                # except at the two boundaries.
-                sort_key = jnp.where(counts > tiered_cap_lo, 0,
-                                     jnp.where(row_has, 1, 2))
-                perm = jnp.argsort(sort_key)   # stable: dense first
-                n_dense = jnp.sum(counts > tiered_cap_lo,
-                                  dtype=jnp.int32)
-            else:
-                perm = jnp.argsort(~row_has)   # stable: nonempty first
+            perm = jnp.argsort(~row_has)       # stable: nonempty first
             n_nonempty = jnp.sum(row_has, dtype=jnp.int32)
             act_used = act[perm]
             # cell -> permuted row (or -1: inactive, or empty this
@@ -790,25 +768,19 @@ def _candidate_sweep(
     pr_p = (None if pr is None else
             jnp.pad(pr, ((0, pad_rows), (0, 0)), constant_values=0.0))
 
-    def sweep_chunk(c0, cap_e=None):
-        # ``cap_e`` < cap runs the LO TIER: emitter planes sliced to
-        # cap_e own-cell slots (every row in the chunk is known to hold
-        # <= cap_e particles, so the dropped slots are all empty); the
-        # candidate axis keeps full capacity and the output is padded
-        # back to (chunk, cap, top_k) with -1.
-        ce = cap if cap_e is None else cap_e
+    def sweep_chunk(c0):
         if use_active:
             sel_cells = jax.lax.dynamic_slice_in_dim(act_p, a_start + c0,
                                                      chunk)
 
             def window(p):
-                return p[sel_cells][:, :ce]
+                return p[sel_cells]
 
             nbr = nbr_p[sel_cells]
         else:
             def window(p):
                 return jax.lax.dynamic_slice_in_dim(p, start + c0,
-                                                    chunk, axis=0)[:, :ce]
+                                                    chunk, axis=0)
 
             nbr = jax.lax.dynamic_slice_in_dim(nbr_p, start + c0, chunk,
                                                axis=0)
@@ -922,46 +894,23 @@ def _candidate_sweep(
                     cand = jnp.maximum(b, cand)
                     new.append(lo)
                 bests = tuple(new)
-        stacked = jnp.stack(bests, axis=-1)            # (c_len, ce, K)
+        stacked = jnp.stack(bests, axis=-1)            # (c_len, cap, K)
         out = jnp.where(stacked < int_big, stacked, -1)
-        if ce < cap:
-            # Lo-tier chunk: pad the sliced (always-empty) emitter
-            # slots back to the full buffer shape.
-            out = jnp.concatenate(
-                [out, jnp.full((c_len, cap - ce, top_k), -1, jnp.int32)],
-                axis=1,
-            )
         return out
 
-    if (dyn_skip or dyn_tier) and n_chunks > 1:
+    if dyn_skip and n_chunks > 1:
         # Chunks whose first row rank >= n_nonempty contain only empty
         # rows (nonempty rows were permuted to the front): skip the
         # sweep body entirely.  The skipped rows' buffer content is
-        # never read (no particle lives in an empty cell).  With the
-        # tier sort, chunks past ``n_dense`` contain only rows holding
-        # <= tiered_cap_lo particles: run the sliced-emitter body.
-        # (A chunk STRADDLING a boundary takes the heavier branch.)
-        def live_chunk(c0):
-            if dyn_tier:
-                return jax.lax.cond(
-                    c0 >= n_dense,
-                    lambda c: sweep_chunk(c, tiered_cap_lo),
-                    lambda c: sweep_chunk(c),
-                    c0,
-                )
-            return sweep_chunk(c0)
-
+        # never read (no particle lives in an empty cell).
         def chunk_or_skip(carry, c0):
-            if dyn_skip:
-                out = jax.lax.cond(
-                    c0 < n_nonempty,
-                    live_chunk,
-                    lambda _: jnp.full((chunk, cap, top_k), -1,
-                                       jnp.int32),
-                    c0,
-                )
-            else:
-                out = live_chunk(c0)
+            out = jax.lax.cond(
+                c0 < n_nonempty,
+                sweep_chunk,
+                lambda _: jnp.full((chunk, cap, top_k), -1,
+                                   jnp.int32),
+                c0,
+            )
             return carry, out
 
         _, parts = jax.lax.scan(
@@ -991,7 +940,7 @@ def _candidate_sweep(
         # like a capacity spill).  Table-dropped particles
         # (pslot == num_cells*cap) are already hot via their own path.
         cell_of = pslot // cap
-        if dyn_skip or dyn_tier:
+        if dyn_skip:
             # Same one N-row gather as the static path, through the
             # per-rebuild cell->permuted-row map instead.
             rel_row = dyn_rank[jnp.minimum(cell_of, grid.num_cells)]
@@ -1016,7 +965,7 @@ def cell_search_sweep(
     mega, pslot, grid, n, *,
     has_ids=False, has_reach=True, top_k=1, cell_window=None,
     one_sided=False, half_shell=False, active_window=None,
-    bf16_hit=False, occupancy_skip=True, tiered_cap_lo=0,
+    bf16_hit=False, occupancy_skip=True,
 ):
     """Run the candidate sweep as a STANDALONE program from a packed
     plane set produced by ``cell_candidate_search(tables_only=True)``.
@@ -1044,7 +993,7 @@ def cell_search_sweep(
         cell_window=cell_window, one_sided=one_sided,
         half_shell=half_shell, active_window=active_window,
         bf16_hit=bf16_hit,
-        occupancy_skip=occupancy_skip, tiered_cap_lo=tiered_cap_lo,
+        occupancy_skip=occupancy_skip,
     )
 
 

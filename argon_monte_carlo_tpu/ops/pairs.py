@@ -90,11 +90,6 @@ class PairConfig:
     # Skip empty active rows at rebuild (EngineConfig.
     # rebuild_occupancy_skip; False pins the static row layout).
     occupancy_skip: bool = True
-    # Occupancy-tiered emitter capacity at rebuild: chunks whose rows
-    # all hold <= this many particles run with the emitter planes
-    # sliced to this slot count (0 = off; EngineConfig.
-    # rebuild_tiered_cap sizes it from the Poisson occupancy).
-    tiered_cap_lo: int = 0
 
 
 @jax.tree_util.register_dataclass
@@ -191,7 +186,6 @@ def rebuild(state: ParticleState, grid: collide.DeviceGrid,
         half_shell=True, active_window=active_window,
         bf16_hit=pcfg.bf16_hit,
         occupancy_skip=pcfg.occupancy_skip,
-        tiered_cap_lo=pcfg.tiered_cap_lo,
     )
     # Cell-table overflow -> HOT, not lost: a particle dropped from the
     # slot planes is invisible to every other particle's search, but a

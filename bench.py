@@ -306,7 +306,6 @@ def main() -> int:
         packed_layer_gather=_env_bool("BENCH_PACKED_LAYERS", True),
         rebuild_bf16_hittest=_env_bool("BENCH_BF16_HIT", False),
         rebuild_occupancy_skip=_env_bool("BENCH_OCC_SKIP", False),
-        rebuild_tiered_cap=_env_bool("BENCH_TIERED_CAP", False),
         eager_rebuild=os.environ.get("BENCH_EAGER_REBUILD") == "1",
         split_rebuild_programs=(
             os.environ.get("BENCH_SPLIT_REBUILD") == "1"),
@@ -444,7 +443,7 @@ def main() -> int:
     knobs = {k: os.environ[k] for k in
              ("BENCH_CELL_CAP", "BENCH_CELL_OCC",
               "BENCH_PACKED_LAYERS", "BENCH_BF16_HIT",
-              "BENCH_OCC_SKIP", "BENCH_TIERED_CAP",
+              "BENCH_OCC_SKIP",
               "BENCH_EAGER_REBUILD", "ARGON_EAGER_REBUILD",
               "BENCH_SPLIT_REBUILD", "ARGON_SPLIT_REBUILD",
               "BENCH_MAX_BLOCK", "ARGON_MAX_BLOCK_STEPS",

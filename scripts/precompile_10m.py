@@ -57,7 +57,6 @@ eng = amc.EngineConfig(
     packed_layer_gather=_env_bool("BENCH_PACKED_LAYERS", True),
     rebuild_bf16_hittest=_env_bool("BENCH_BF16_HIT", False),
     rebuild_occupancy_skip=_env_bool("BENCH_OCC_SKIP", False),
-    rebuild_tiered_cap=_env_bool("BENCH_TIERED_CAP", False),
     eager_rebuild=os.environ.get("BENCH_EAGER_REBUILD") == "1",
     split_rebuild_programs=os.environ.get("BENCH_SPLIT_REBUILD") == "1",
     max_block_steps=(int(os.environ["BENCH_MAX_BLOCK"])

@@ -674,11 +674,16 @@ def test_all_three_rebuild_levers_compose_bitwise():
     np.testing.assert_array_equal(np.asarray(m_a.hist), np.asarray(m_b.hist))
 
 
-def test_occupancy_skip_off_matches_default_bitwise():
-    """rebuild_occupancy_skip=False pins the static active-row layout;
-    per-particle candidates are layout-independent (readback goes
-    through the cell->row map), so trajectories must match the shipping
-    skip form bitwise."""
+def test_occupancy_skip_on_matches_default_bitwise(monkeypatch):
+    """rebuild_occupancy_skip=True permutes nonempty active rows first
+    and lax.cond-skips trailing all-empty chunks; per-particle
+    candidates are layout-independent (readback goes through the
+    per-rebuild cell->row map), so trajectories must match the shipping
+    static-layout default bitwise.  (The default flipped to False in
+    r5, so ON is the non-default arm.)  The chunk is shrunk via the
+    test hook so the multi-chunk lax.cond skip dispatch actually
+    executes at CPU-test particle counts -- both the taken and the
+    skipped branch."""
     k, steps, n = 5, 15, 3000
     eng_a = amc.EngineConfig(dtype="float32", broadphase="cells",
                              steps_per_epoch=k, narrowphase="pairs",
@@ -688,7 +693,8 @@ def test_occupancy_skip_off_matches_default_bitwise():
     st_a, m_a, _ = amc.Simulation(amc.make_workload(cfg_a)).run(
         num_steps=steps)
 
-    eng_b = dataclasses.replace(eng_a, rebuild_occupancy_skip=False)
+    monkeypatch.setenv("ARGON_SWEEP_CHUNK", "32")
+    eng_b = dataclasses.replace(eng_a, rebuild_occupancy_skip=True)
     cfg_b = amc.temperature_pore_config(num_particles_override=n,
                                         engine=eng_b)
     st_b, m_b, _ = amc.Simulation(amc.make_workload(cfg_b)).run(
@@ -779,101 +785,6 @@ def test_split_rebuild_float32_with_levers_bitwise():
     assert int(m_a.collision_count) == int(m_b.collision_count) > 0
     np.testing.assert_array_equal(np.asarray(st_a.pos), np.asarray(st_b.pos))
     np.testing.assert_array_equal(np.asarray(st_a.vel), np.asarray(st_b.vel))
-
-
-def test_tiered_cap_candidate_rows_bitwise(monkeypatch):
-    """Unit-level: the occupancy-tiered emitter slicing returns bitwise
-    the same per-particle candidates as the full-capacity sweep.  The
-    chunk is shrunk via the test hook so the per-chunk lax.cond tier
-    dispatch engages at CPU scale, and the occupancy distribution is
-    checked to actually exercise BOTH branches (dense rows above the
-    lo tier and sliced rows at-or-below it)."""
-    key = jax.random.PRNGKey(13)
-    n = 4000
-    eng = amc.EngineConfig(dtype="float32", broadphase="cells",
-                           narrowphase="pairs", rebuild_interval=8)
-    cfg = amc.temperature_pore_config(num_particles_override=n, engine=eng)
-    wl = amc.make_workload(cfg)
-    from argon_monte_carlo_tpu.engine import build_grids
-
-    _, dgrid = build_grids(wl)
-    state = wl.init_fn(key)
-    cr, dt = cfg.physics.collision_range, cfg.dt
-    lo = 16
-    # The tier split must be non-trivial at this occupancy.
-    cid = np.asarray(collide.assign_cells(state.pos, dgrid))
-    counts = np.bincount(cid, minlength=dgrid.num_cells + 1)
-    assert (counts > lo).sum() > 0, "no dense rows -- tier untested"
-    assert ((counts > 0) & (counts <= lo)).sum() > 0
-
-    monkeypatch.setenv("ARGON_SWEEP_CHUNK", "16")
-    reach, _ = pairs_ops.reach_radii(state.vel, cr, dt, 8,
-                                     0.5 * dgrid.cell_size)
-    kw = dict(reach=reach, top_k=4, one_sided=True, half_shell=True)
-    full, _, _ = collide.cell_candidate_search(state.pos, dgrid, **kw)
-    tier, _, _ = collide.cell_candidate_search(state.pos, dgrid,
-                                               tiered_cap_lo=lo, **kw)
-    np.testing.assert_array_equal(np.asarray(full), np.asarray(tier))
-    assert (np.asarray(full) >= 0).sum() > 0  # candidates actually exist
-
-
-def test_tiered_cap_matches_default_engine_bitwise(monkeypatch):
-    """rebuild_tiered_cap is a pure scheduling knob: identical
-    candidate selection must yield bitwise-identical trajectories end
-    to end -- including across DIFFERENT chunk boundaries (the default
-    engine runs un-hooked; the tiered engine runs with the shrunken
-    test chunk so the tier cond actually dispatches both bodies)."""
-    k, steps, n = 5, 15, 3000
-    eng_a = amc.EngineConfig(dtype="float64", broadphase="cells",
-                             steps_per_epoch=k, narrowphase="pairs",
-                             rebuild_interval=k)
-    cfg_a = amc.temperature_pore_config(num_particles_override=n,
-                                        engine=eng_a)
-    st_a, m_a, _ = amc.Simulation(amc.make_workload(cfg_a)).run(
-        num_steps=steps)
-
-    monkeypatch.setenv("ARGON_SWEEP_CHUNK", "32")
-    eng_b = dataclasses.replace(eng_a, rebuild_tiered_cap=True)
-    cfg_b = amc.temperature_pore_config(num_particles_override=n,
-                                        engine=eng_b)
-    wl_b = amc.make_workload(cfg_b)
-    from argon_monte_carlo_tpu.engine import pairs_config_for
-
-    pcfg = pairs_config_for(wl_b)
-    assert pcfg.tiered_cap_lo > 0, "tier sizing did not engage"
-    st_b, m_b, _ = amc.Simulation(wl_b).run(num_steps=steps)
-
-    assert int(m_a.collision_count) == int(m_b.collision_count) > 0
-    np.testing.assert_array_equal(np.asarray(st_a.pos), np.asarray(st_b.pos))
-    np.testing.assert_array_equal(np.asarray(st_a.vel), np.asarray(st_b.vel))
-    np.testing.assert_array_equal(np.asarray(m_a.hist), np.asarray(m_b.hist))
-
-
-def test_tiered_cap_split_rebuild_f32_bitwise(monkeypatch):
-    """Tiered emitter capacity composed with split_rebuild_programs at
-    the bench dtype (f32) -- the 10M ladder's program shape -- must
-    still match the fused full-capacity engine bitwise."""
-    k, steps, n = 5, 10, 3000
-    eng_a = amc.EngineConfig(dtype="float32", broadphase="cells",
-                             steps_per_epoch=k, narrowphase="pairs",
-                             rebuild_interval=k)
-    cfg_a = amc.temperature_pore_config(num_particles_override=n,
-                                        engine=eng_a)
-    st_a, m_a, _ = amc.Simulation(amc.make_workload(cfg_a)).run(
-        num_steps=steps)
-
-    monkeypatch.setenv("ARGON_SWEEP_CHUNK", "32")
-    eng_b = dataclasses.replace(eng_a, rebuild_tiered_cap=True,
-                                split_rebuild_programs=True)
-    cfg_b = amc.temperature_pore_config(num_particles_override=n,
-                                        engine=eng_b)
-    st_b, m_b, _ = amc.Simulation(amc.make_workload(cfg_b)).run(
-        num_steps=steps)
-
-    assert int(m_a.collision_count) == int(m_b.collision_count) > 0
-    np.testing.assert_array_equal(np.asarray(st_a.pos), np.asarray(st_b.pos))
-    np.testing.assert_array_equal(np.asarray(st_a.vel), np.asarray(st_b.vel))
-    np.testing.assert_array_equal(np.asarray(m_a.hist), np.asarray(m_b.hist))
 
 
 def test_max_block_steps_matches_default_bitwise():

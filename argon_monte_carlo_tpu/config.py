@@ -134,14 +134,15 @@ class EngineConfig:
     # capacity" records the post-mortem; runs/probe/tiered_cap_r5.json
     # is the measurement.)
     # Skip empty active rows in the rebuild sweep (stable nonempty-
-    # first permutation + lax.cond chunk skip).  Default False as of
-    # r5: the only end-to-end measurement has the skip NEGATIVE
-    # (2.45e7 with skip vs 2.54e7 without, bench_1m_r4b vs bench_1m_r4
-    # -- cross-run, so confounded by tunnel drift, but the best point
-    # estimate), and the r5 10M ladder pins BENCH_OCC_SKIP=0, so the
-    # default now matches both.  The r5 interleaved A/B
-    # (runs/bench/ab_occskip_r5.json, B = skip ON) re-decides with a
-    # CI; flip back only if it lands B_FASTER.
+    # first permutation + lax.cond chunk skip).  Default False,
+    # DECIDED by the r5 interleaved same-session A/B
+    # (runs/bench/ab_occskip_r5.json, 1M, 6 ABBA pairs): skip ON is
+    # +3.35% SLOWER, 95% CI [+2.1%, +4.6%] -- excludes zero, so the
+    # r4 cross-run point estimate (-4%, confounded) is confirmed: the
+    # per-rebuild occupancy compaction costs more than the ~24% empty
+    # rows save at 1M density.  Kept as a knob (not deleted): the
+    # trade reverses at sparser occupancies, and the sharded engine
+    # path never uses it (windowed mode pins the static layout).
     rebuild_occupancy_skip: bool = False
     # Run the pair-list rebuild OUTSIDE jit (each op and the chunked
     # sweep's internal lax.scan compile as their own small programs).

@@ -264,13 +264,17 @@ def main() -> int:
     # Persistent compile cache: XLA compiles through this environment's
     # remote-compile tunnel take minutes (1M) to hours (10M); cached
     # executables load in seconds on repeat runs of the same program.
-    # Durable default ($HOME, not /tmp): the 2026-08-19 host restart
-    # wiped /tmp mid-round, destroying both compile caches right before
-    # the 10M north-star attempt needed them (VERDICT r3 weak 3).
+    # Durable default = IN-REPO and git-committed (queue_r5e commits it
+    # after every precompile attempt): the 2026-08-19 restart wiped
+    # /tmp, and the 2026-08-20 restart showed $HOME does not survive
+    # either -- the machine restores from the last git commit, so the
+    # repo tree is the only storage that outlives a restart.
     jax.config.update(
         "jax_compilation_cache_dir",
-        os.environ.get("JAX_CACHE_DIR",
-                       os.path.expanduser("~/.cache/jax_argon")),
+        os.environ.get(
+            "JAX_CACHE_DIR",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "runs", "jax_cache_r5")),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -67,7 +67,9 @@ def main() -> int:
     jax.config.update(
         "jax_compilation_cache_dir",
         os.environ.get("JAX_CACHE_DIR",
-                       os.path.expanduser("~/.cache/jax_argon")),
+                       os.path.join(os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))),
+                           "runs", "jax_cache_r5")),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
